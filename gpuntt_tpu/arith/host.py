@@ -1,0 +1,85 @@
+"""Host-side exact modular arithmetic (parameter generation path).
+
+Rebuild of the reference's `OPERATOR<T>` = BarrettOperations (host)
+(modular_arith.cuh:62-156).  Python integers are arbitrary precision, so
+the Barrett dance is only kept where it is semantically load-bearing;
+where Barrett is exact (it always produces the canonical residue for
+inputs < q after its single conditional subtraction), we use plain
+modular arithmetic, which yields bit-identical tables.
+
+`barrett_mult` below replicates the exact `bit-2` / `bit+3` shift
+schedule (modular_arith.cuh:90-107) and is used by tests to prove that
+the plain-mod shortcut and the TPU limb kernels agree with it.
+"""
+
+from __future__ import annotations
+
+from .modulus import Modulus
+
+
+def add(a: int, b: int, m: Modulus) -> int:
+    """(a + b) mod q, single conditional subtraction (modular_arith.cuh:71-77)."""
+    s = a + b
+    return s - m.value if s >= m.value else s
+
+
+def sub(a: int, b: int, m: Modulus) -> int:
+    """(a - b) mod q via +q (modular_arith.cuh:80-86)."""
+    d = a + m.value - b
+    return d - m.value if d >= m.value else d
+
+
+def barrett_mult(a: int, b: int, m: Modulus) -> int:
+    """Exact replica of OPERATOR<T>::mult (modular_arith.cuh:90-107).
+
+    Valid (== a*b mod q) for moduli up to 30 bits (32-bit data) and
+    62 bits (64-bit data); the word mask models the C truncation.
+    """
+    mask = m.max_data if m.bits == 64 else 0xFFFFFFFF
+    wide_mask = (1 << (2 * m.bits)) - 1
+    z = (a * b) & wide_mask
+    r = z >> (m.bit - 2)
+    r = (r * m.mu) & wide_mask
+    r = r >> (m.bit + 3)
+    r = (r * m.value) & wide_mask
+    z = (z - r) & wide_mask
+    result = z & mask
+    return result - m.value if result >= m.value else result
+
+
+def mult(a: int, b: int, m: Modulus) -> int:
+    """(a * b) mod q.  Equals barrett_mult for in-range inputs."""
+    return (a * b) % m.value
+
+
+def exp(base: int, exponent: int, m: Modulus) -> int:
+    """(base ^ exponent) mod q (modular_arith.cuh:111-128)."""
+    return pow(base, exponent, m.value)
+
+
+def modinv(a: int, m: Modulus) -> int:
+    """a^(q-2) mod q — Fermat inverse, prime q (modular_arith.cuh:132-136)."""
+    return pow(a, m.value - 2, m.value)
+
+
+def reduce(a: int, m: Modulus) -> int:
+    """a mod q (modular_arith.cuh:139-155)."""
+    return a % m.value
+
+
+def reduce_signed(a: int, m: Modulus) -> int:
+    """Signed -> [0, q) conversion used for signed NTT inputs.
+
+    Mirrors OPERATOR_GPU::reduce(signed) (modular_arith.cuh:372-385):
+    negative values map to q - (-a) WITHOUT further reduction; the caller
+    guarantees |a| <= q.
+    """
+    if a < 0:
+        return m.value - (-a)
+    return a
+
+
+def centered_reduction(a: int, m: Modulus) -> int:
+    """[0, q) -> [-q/2, q/2) (modular_arith.cuh:387-405)."""
+    half = m.value >> 1
+    return a - m.value if a > half else a
