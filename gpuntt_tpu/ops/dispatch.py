@@ -1,0 +1,238 @@
+"""Public transform API — the GPU_NTT / GPU_INTT equivalent surface.
+
+Rebuild of the reference's host dispatch layer (ntt.cu:2076-3097 and
+the ordered variants :3600-4459) as functional, jittable entry points:
+
+  ntt / intt                      <- GPU_NTT / GPU_INTT (+ *_Inplace,
+                                     which is meaningless under XLA's
+                                     functional semantics — the jitted
+                                     computation is in-place where the
+                                     compiler proves it safe)
+  ntt_rns / intt_rns              <- RNS overloads (ntt.cu:2560-3059)
+  ntt_modulus_ordered / intt_...  <- GPU_NTT_Modulus_Ordered (:3600-3768)
+  ntt_poly_ordered / intt_...     <- GPU_NTT_Poly_Ordered (:4281-4459)
+
+Layout semantics (NTTLayout, ntt.cuh doc :360-394): PerPolynomial
+transforms the last axis of a (batch, N) buffer; PerCoefficient
+transforms axis 0 of an (N, batch) buffer — same memory, different
+interpretation; on TPU this is an axis choice, not a kernel family
+(the reference needs a dedicated transpose kernel family for it,
+ntt.cu:1554-2075).
+
+Signed variants (Data32s/Data64s instantiations, ntt.cu:4508-5244):
+`ntt(..., signed_input=True)` reduces on load; `intt(...,
+signed_output=True)` applies centered reduction in the last stage.
+
+`zero_padding` is accepted for parity and ignored — the reference
+threads it through but no kernel body reads it (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params.merge import NTTLayout, NTTParameters, NTTType, ReductionPolynomial
+from . import barrett as bo
+from .limb import U64, u64_from_numpy, u64_to_numpy
+from .merge_ntt import MergePlan, from_lanes, merge_intt_lanes, merge_ntt_lanes, to_lanes
+
+
+@dataclass(frozen=True)
+class NTTConfig:
+    """Parity stand-in for ntt_configuration (ntt.cuh:31-51)."""
+
+    n_power: int
+    ntt_type: NTTType = NTTType.FORWARD
+    ntt_layout: NTTLayout = NTTLayout.PerPolynomial
+    reduction_poly: ReductionPolynomial = ReductionPolynomial.X_N_minus
+    zero_padding: bool = False  # accepted, never read (parity)
+    mod_inverse: int | None = None
+
+
+def _signed_view(x):
+    """numpy int32/int64 -> same-width unsigned bit pattern."""
+    x = np.asarray(x)
+    if x.dtype == np.int32:
+        return x.view(np.uint32), 32
+    if x.dtype == np.int64:
+        return x.view(np.uint64), 64
+    raise TypeError(f"signed input must be int32/int64, got {x.dtype}")
+
+
+def _apply_layout_in(x_lanes, layout: NTTLayout):
+    if layout == NTTLayout.PerCoefficient:
+        return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1), x_lanes)
+    return x_lanes
+
+
+def _apply_layout_out(x_lanes, layout: NTTLayout):
+    if layout == NTTLayout.PerCoefficient:
+        return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, -1, 0), x_lanes)
+    return x_lanes
+
+
+def ntt_lanes(
+    x,
+    plan: MergePlan,
+    layout: NTTLayout = NTTLayout.PerPolynomial,
+    signed_input: bool = False,
+):
+    """Forward NTT on the lane representation (jittable building block)."""
+    if signed_input:
+        if plan.is64:
+            x = bo.reduce_signed64(x, bo.u64_const(plan.q))
+        else:
+            x = bo.reduce_signed32(x, plan.q)
+    x = _apply_layout_in(x, layout)
+    y = merge_ntt_lanes(x, plan)
+    return _apply_layout_out(y, layout)
+
+
+def intt_lanes(
+    x,
+    plan: MergePlan,
+    layout: NTTLayout = NTTLayout.PerPolynomial,
+    signed_output: bool = False,
+):
+    """Inverse NTT on the lane representation (jittable building block)."""
+    x = _apply_layout_in(x, layout)
+    y = merge_intt_lanes(x, plan)
+    y = _apply_layout_out(y, layout)
+    if signed_output:
+        if plan.is64:
+            return bo.centered64(y, bo.u64_const(plan.q))
+        return bo.centered32(y, plan.q)
+    return y
+
+
+# ------------------------------------------------------ numpy convenience
+
+
+def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
+    """GPU_NTT equivalent over numpy arrays (device round-trip included).
+
+    Accepts uint32/uint64 (or int32/int64 with signed_input semantics,
+    matching the Data32s/Data64s instantiations).
+    """
+    layout = kw.pop("layout", cfg.ntt_layout if cfg else NTTLayout.PerPolynomial)
+    signed_input = kw.pop("signed_input", False)
+    x = np.asarray(x)
+    if x.dtype in (np.dtype(np.int32), np.dtype(np.int64)):
+        xv, _ = _signed_view(x)
+        signed_input = True
+    else:
+        xv = x
+    lanes = to_lanes(xv, plan.is64)
+    out = jax.jit(
+        lambda v: ntt_lanes(v, plan, layout=layout, signed_input=signed_input)
+    )(lanes)
+    return from_lanes(out, plan.is64)
+
+
+def intt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
+    """GPU_INTT equivalent over numpy arrays."""
+    layout = kw.pop("layout", cfg.ntt_layout if cfg else NTTLayout.PerPolynomial)
+    signed_output = kw.pop("signed_output", False)
+    lanes = to_lanes(np.asarray(x), plan.is64)
+    out = jax.jit(
+        lambda v: intt_lanes(v, plan, layout=layout, signed_output=signed_output)
+    )(lanes)
+    res = from_lanes(out, plan.is64)
+    if signed_output:
+        return res.view(np.int64) if plan.is64 else res.view(np.int32)
+    return res
+
+
+# --------------------------------------------------------- RNS + ordered
+
+def _rns_mod_idx(batch: int, mod_count: int) -> np.ndarray:
+    """Default cyclic modulus schedule: batch b -> modulus b % mod_count
+    (ntt.cu RNS kernels, q_index = block_y % mod_count)."""
+    return np.arange(batch, dtype=np.int64) % mod_count
+
+
+def ntt_rns(x, plan, cfg: NTTConfig | None = None):
+    """GPU_NTT RNS overload (ntt.cu:2560-2800)."""
+    from .rns import rns_ntt_lanes
+
+    x = np.asarray(x)
+    mod_idx = _rns_mod_idx(x.shape[0], plan.mod_count)
+    lanes = to_lanes(x, plan.is64)
+    out = jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes)
+    return from_lanes(out, plan.is64)
+
+
+def intt_rns(x, plan, cfg: NTTConfig | None = None):
+    """GPU_INTT RNS overload (ntt.cu:2800-3059)."""
+    from .rns import rns_intt_lanes
+
+    x = np.asarray(x)
+    mod_idx = _rns_mod_idx(x.shape[0], plan.mod_count)
+    lanes = to_lanes(x, plan.is64)
+    out = jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes)
+    return from_lanes(out, plan.is64)
+
+
+def ntt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
+    """GPU_NTT_Modulus_Ordered (ntt.cu:3600-3768): modulus index =
+    order[b % mod_count]."""
+    from .rns import rns_ntt_lanes
+
+    x = np.asarray(x)
+    order = np.asarray(order, dtype=np.int64)
+    mod_idx = order[np.arange(x.shape[0]) % len(order)]
+    lanes = to_lanes(x, plan.is64)
+    out = jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes)
+    return from_lanes(out, plan.is64)
+
+
+def intt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
+    from .rns import rns_intt_lanes
+
+    x = np.asarray(x)
+    order = np.asarray(order, dtype=np.int64)
+    mod_idx = order[np.arange(x.shape[0]) % len(order)]
+    lanes = to_lanes(x, plan.is64)
+    out = jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes)
+    return from_lanes(out, plan.is64)
+
+
+def ntt_poly_ordered(x, plan, order, batch_size: int | None = None,
+                     cfg: NTTConfig | None = None):
+    """GPU_NTT_Poly_Ordered (ntt.cu:3782-4459): for b < batch_size, poly
+    order[b] is transformed in place at position order[b] with modulus
+    b % mod_count; other rows pass through untouched."""
+    from .rns import rns_ntt_lanes
+
+    x = np.asarray(x)
+    order = np.asarray(order, dtype=np.int64)
+    b = batch_size if batch_size is not None else len(order)
+    sel = order[:b]
+    mod_idx = np.arange(b, dtype=np.int64) % plan.mod_count
+    lanes = to_lanes(x[sel], plan.is64)
+    out = from_lanes(jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes),
+                     plan.is64)
+    res = x.copy()
+    res[sel] = out.astype(x.dtype)
+    return res
+
+
+def intt_poly_ordered(x, plan, order, batch_size: int | None = None,
+                      cfg: NTTConfig | None = None):
+    from .rns import rns_intt_lanes
+
+    x = np.asarray(x)
+    order = np.asarray(order, dtype=np.int64)
+    b = batch_size if batch_size is not None else len(order)
+    sel = order[:b]
+    mod_idx = np.arange(b, dtype=np.int64) % plan.mod_count
+    lanes = to_lanes(x[sel], plan.is64)
+    out = from_lanes(jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes),
+                     plan.is64)
+    res = x.copy()
+    res[sel] = out.astype(x.dtype)
+    return res
