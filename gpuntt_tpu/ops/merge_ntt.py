@@ -129,38 +129,66 @@ class MergePlan:
 # ------------------------------------------------------------- transforms
 
 
-def merge_ntt_lanes(x, plan: MergePlan):
-    """Forward merged NTT along the last axis of the lane representation.
+def ct_stages(x, table, shoup, ops, log_size: int, xnp: bool):
+    """Cooley-Tukey butterfly stage sweep along the last axis.
 
     Stage s (m = 2^s groups, t = N >> (s+1)) pairs j and j+t; with the
     bit-reversed table the group twiddles are table[0:m] (X_N_minus,
     cf. ntt_cpu.cu:102-104) or table[m:2m] (X_N_plus, :107-109).
-    Matches GPU_NTT output element-for-element.
+    Shared by the merge NTT and the 4-step column/row NTTs
+    (core_ntt, ntt_4step_cpu.cu:117-154, is the xnp=False case).
     """
-    ops = plan.ops()
-    n = 1 << plan.logn
-    xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
+    n = 1 << log_size
     lead = jax.tree_util.tree_leaves(x)[0].shape[:-1]
 
-    for s in range(plan.logn):
+    for s in range(log_size):
         m = 1 << s
         t = n >> (s + 1)
-        tw = _stage_slice(plan.fwd_table, m, 2 * m) if xnp else _stage_slice(
-            plan.fwd_table, 0, m
-        )
-        tws = _stage_slice(plan.fwd_shoup, m, 2 * m) if xnp else _stage_slice(
-            plan.fwd_shoup, 0, m
-        )
+        lo, hi = (m, 2 * m) if xnp else (0, m)
+        tw = _stage_slice(table, lo, hi)
+        tws = _stage_slice(shoup, lo, hi)
         v = _reshape(x, lead + (m, 2, t))
         u_part = _take_pair(v, 0)
-        tw_b = _tmap(lambda a: a[:, None], tw)
-        tws_b = _tmap(lambda a: a[:, None], tws)
+        tw_b = _tmap(lambda a: a[..., :, None], tw)
+        tws_b = _tmap(lambda a: a[..., :, None], tws)
         v_part = ops["mulc"](_take_pair(v, 1), tw_b, tws_b)
-        hi = ops["add"](u_part, v_part)
-        lo_ = ops["sub"](u_part, v_part)
-        x = _reshape(_tmap(lambda a, b: jnp.stack([a, b], axis=-2), hi, lo_),
+        hi_o = ops["add"](u_part, v_part)
+        lo_o = ops["sub"](u_part, v_part)
+        x = _reshape(_tmap(lambda a, b: jnp.stack([a, b], axis=-2), hi_o, lo_o),
                      lead + (n,))
     return x
+
+
+def gs_stages(x, table, shoup, ops, log_size: int, xnp: bool):
+    """Gentleman-Sande (inverse) butterfly stage sweep, no scaling."""
+    n = 1 << log_size
+    lead = jax.tree_util.tree_leaves(x)[0].shape[:-1]
+
+    for s in range(log_size - 1, -1, -1):
+        h = 1 << s
+        t = n >> (s + 1)
+        lo, hi = (h, 2 * h) if xnp else (0, h)
+        tw = _stage_slice(table, lo, hi)
+        tws = _stage_slice(shoup, lo, hi)
+        v = _reshape(x, lead + (h, 2, t))
+        u_part = _take_pair(v, 0)
+        v_part = _take_pair(v, 1)
+        tw_b = _tmap(lambda a: a[..., :, None], tw)
+        tws_b = _tmap(lambda a: a[..., :, None], tws)
+        hi_o = ops["add"](u_part, v_part)
+        lo_o = ops["mulc"](ops["sub"](u_part, v_part), tw_b, tws_b)
+        x = _reshape(_tmap(lambda a, b: jnp.stack([a, b], axis=-2), hi_o, lo_o),
+                     lead + (n,))
+    return x
+
+
+def merge_ntt_lanes(x, plan: MergePlan):
+    """Forward merged NTT along the last axis of the lane representation.
+
+    Matches GPU_NTT output element-for-element (ntt.cu:2076-2256).
+    """
+    xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
+    return ct_stages(x, plan.fwd_table, plan.fwd_shoup, plan.ops(), plan.logn, xnp)
 
 
 def merge_intt_lanes(x, plan: MergePlan, scale: bool = True):
@@ -171,29 +199,8 @@ def merge_intt_lanes(x, plan: MergePlan, scale: bool = True):
     unscaled variant used when the caller owns cfg.mod_inverse.
     """
     ops = plan.ops()
-    n = 1 << plan.logn
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
-    lead = jax.tree_util.tree_leaves(x)[0].shape[:-1]
-
-    for s in range(plan.logn - 1, -1, -1):
-        h = 1 << s
-        t = n >> (s + 1)
-        tw = _stage_slice(plan.inv_table, h, 2 * h) if xnp else _stage_slice(
-            plan.inv_table, 0, h
-        )
-        tws = _stage_slice(plan.inv_shoup, h, 2 * h) if xnp else _stage_slice(
-            plan.inv_shoup, 0, h
-        )
-        v = _reshape(x, lead + (h, 2, t))
-        u_part = _take_pair(v, 0)
-        v_part = _take_pair(v, 1)
-        tw_b = _tmap(lambda a: a[:, None], tw)
-        tws_b = _tmap(lambda a: a[:, None], tws)
-        hi = ops["add"](u_part, v_part)
-        lo_ = ops["mulc"](ops["sub"](u_part, v_part), tw_b, tws_b)
-        x = _reshape(_tmap(lambda a, b: jnp.stack([a, b], axis=-2), hi, lo_),
-                     lead + (n,))
-
+    x = gs_stages(x, plan.inv_table, plan.inv_shoup, ops, plan.logn, xnp)
     if scale:
         x = ops["mulc"](x, plan.n_inv_rep, plan.n_inv_shoup)
     return x
