@@ -144,6 +144,7 @@ class NTTParameters4Step:
 
         self._w_forward: np.ndarray | None = None
         self._w_inverse: np.ndarray | None = None
+        self._w_chain_inverse: np.ndarray | None = None
 
     # --- W twiddle matrices (lazy: O(N) ints, large for logn 24) ---
 
@@ -168,6 +169,24 @@ class NTTParameters4Step:
                 self.inverse_root_of_unity, self.n1, self.n2, bitrev_rows=False
             )
         return self._w_inverse
+
+    @property
+    def W_chain_inverse_table(self) -> np.ndarray:
+        """Elementwise inverse of the FORWARD W: invroot^(bitrev(i, log n1)*j).
+
+        No reference counterpart: the reference's inverse pipeline uses a
+        differently-indexed W_inverse (nttparameters.cu:430-444) because
+        its INTT runs through the vector_to_matrix_intt permutation; the
+        distributed TPU inverse (parallel/fourstep_dist.py) instead
+        inverts the forward chain directly, which needs W^-1 with the
+        forward's index pattern.  Exact integers: both routes produce
+        bit-identical transforms.
+        """
+        if self._w_chain_inverse is None:
+            self._w_chain_inverse = self._w_table(
+                self.inverse_root_of_unity, self.n1, self.n2, bitrev_rows=True
+            )
+        return self._w_chain_inverse
 
     def _w_table(self, root: int, n1: int, n2: int, bitrev_rows: bool) -> np.ndarray:
         q = self.modulus.value

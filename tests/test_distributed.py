@@ -1,0 +1,80 @@
+"""Distributed 4-step NTT on a virtual 8-device CPU mesh.
+
+No reference counterpart (single-GPU library); correctness target is
+bit-exactness vs the single-chip engines and the golden model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gpuntt_tpu import NTT4StepCPU, NTTParameters4Step, ReductionPolynomial
+from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+from gpuntt_tpu.parallel.fourstep_dist import (
+    DistFourStepPlan,
+    dist_fourstep_intt,
+    dist_fourstep_ntt,
+)
+from gpuntt_tpu.parallel.mesh import make_mesh
+
+
+def _tput(x, mesh, spec):
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, spec)), x
+    )
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.uint64])
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4)])
+def test_dist_fourstep_matches_golden(dtype, dp, sp, rng):
+    p = NTTParameters4Step(13, ReductionPolynomial.X_N_minus, dtype=dtype)
+    dplan = DistFourStepPlan.from_params(p)
+    gen = NTT4StepCPU(p)
+    mesh = make_mesh(dp=dp, sp=sp)
+    batch = 4
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64).astype(dtype)
+
+    lanes = to_lanes(x.reshape(batch, p.n1, p.n2), dplan.base.is64)
+    lanes = _tput(lanes, mesh, P("dp", None, "sp"))
+    spec_out = jax.jit(lambda v: dist_fourstep_ntt(v, dplan, mesh))(lanes)
+
+    got = from_lanes(spec_out, dplan.base.is64).reshape(batch, p.n).astype(dtype)
+    exp = np.stack([gen.ntt(x[i]) for i in range(batch)])
+    np.testing.assert_array_equal(got, exp)
+
+    # inverse: back to the (B, n1, n2) time-domain layout
+    back = jax.jit(lambda v: dist_fourstep_intt(v, dplan, mesh))(spec_out)
+    got_back = from_lanes(back, dplan.base.is64).reshape(batch, p.n).astype(dtype)
+    np.testing.assert_array_equal(got_back, x)
+
+
+def test_dist_intt_matches_reference_intt(rng):
+    """dist INTT inverts the reference spectrum layout exactly: feeding
+    NTT_4STEP_CPU::ntt output returns the original input."""
+    p = NTTParameters4Step(12, ReductionPolynomial.X_N_minus, dtype=np.uint32)
+    dplan = DistFourStepPlan.from_params(p)
+    gen = NTT4StepCPU(p)
+    mesh = make_mesh(dp=1, sp=8)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64).astype(np.uint32)
+    spec = np.stack([gen.ntt(x[i]) for i in range(2)])
+
+    lanes = to_lanes(spec.reshape(2, p.n2, p.n1), False)
+    lanes = _tput(lanes, mesh, P("dp", None, "sp"))
+    back = dist_fourstep_intt(lanes, dplan, mesh)
+    got = from_lanes(back, False).reshape(2, p.n).astype(np.uint32)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_dist_output_sharding(rng):
+    """Output carries the declared sharding (n1 over sp) — the layout
+    contract downstream pointwise ops rely on."""
+    p = NTTParameters4Step(12, ReductionPolynomial.X_N_minus, dtype=np.uint32)
+    dplan = DistFourStepPlan.from_params(p)
+    mesh = make_mesh(dp=1, sp=8)
+    x = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64).astype(np.uint32)
+    lanes = _tput(to_lanes(x.reshape(1, p.n1, p.n2), False), mesh, P("dp", None, "sp"))
+    out = dist_fourstep_ntt(lanes, dplan, mesh)
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(1, p.n2, p.n1 // 8)}
