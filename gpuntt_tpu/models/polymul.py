@@ -1,0 +1,91 @@
+"""Polynomial multiplication engines — the framework's flagship models.
+
+The reference ships this pipeline only as example code
+(test_cpu_merge_ntt.cu:69-101: NTT -> pointwise mult -> INTT ==
+schoolbook); here it is a first-class, jittable model:
+
+- `PolynomialMultiplier`: single-chip negacyclic/cyclic polynomial
+  product over the merged NTT (any logn the merge pools support).
+- `DistPolynomialMultiplier`: multi-chip product over the distributed
+  4-step NTT — forward both operands (all_to_all over ICI), pointwise
+  Barrett product in the spectrum layout, inverse back.  This is the
+  "training step" analog the multi-chip dry-run compiles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+
+from ..params.merge import NTTParameters, ReductionPolynomial
+from ..params.fourstep import NTTParameters4Step
+from ..ops import barrett as bo
+from ..ops.merge_ntt import MergePlan, from_lanes, merge_intt_lanes, merge_ntt_lanes, to_lanes
+from ..ops.fourstep import FourStepPlan
+from ..parallel.fourstep_dist import (
+    DistFourStepPlan,
+    dist_fourstep_intt,
+    dist_fourstep_ntt,
+)
+
+
+def pointwise_mult_lanes(a, b, q: int, bit: int, mu: int, is64: bool):
+    """Exact data x data product (OPERATOR_GPU::mult semantics,
+    modular_arith.cuh:312-339) — Barrett, since neither operand is a
+    precomputable constant."""
+    if is64:
+        return bo.barrett_mul64(a, b, q, bit, mu)
+    return bo.barrett_mul32(a, b, q, bit, mu)
+
+
+class PolynomialMultiplier:
+    """c = a * b mod (q, X^N +/- 1) via merge NTT (single chip)."""
+
+    def __init__(self, params: NTTParameters):
+        self.params = params
+        self.plan = MergePlan.from_params(params)
+        self.bit = params.modulus.bit
+        self.mu = params.modulus.mu
+
+    def step_lanes(self, a, b):
+        """Jittable lane-representation pipeline."""
+        plan = self.plan
+        fa = merge_ntt_lanes(a, plan)
+        fb = merge_ntt_lanes(b, plan)
+        fc = pointwise_mult_lanes(fa, fb, plan.q, self.bit, self.mu, plan.is64)
+        return merge_intt_lanes(fc, plan)
+
+    def __call__(self, a, b) -> np.ndarray:
+        lanes_a = to_lanes(np.asarray(a), self.plan.is64)
+        lanes_b = to_lanes(np.asarray(b), self.plan.is64)
+        out = jax.jit(self.step_lanes)(lanes_a, lanes_b)
+        return from_lanes(out, self.plan.is64)
+
+
+class DistPolynomialMultiplier:
+    """c = a * b mod (q, X^N - 1) via distributed 4-step NTT.
+
+    Operands live as (B, n1, n2) blocks sharded P('dp', None, 'sp');
+    the product comes back in the same layout.  All cross-chip traffic
+    is the two all_to_alls inside each transform.
+    """
+
+    def __init__(self, params: NTTParameters4Step, mesh):
+        if params.poly_reduction != ReductionPolynomial.X_N_minus:
+            raise ValueError("4-step polymul diagonalises cyclic convolution "
+                             "(X_N_minus) only")
+        self.params = params
+        self.dplan = DistFourStepPlan.from_params(params)
+        self.mesh = mesh
+        self.bit = params.modulus.bit
+        self.mu = params.modulus.mu
+
+    def step_lanes(self, a, b):
+        """Jittable full step: 2 forwards + pointwise + inverse."""
+        d = self.dplan
+        fa = dist_fourstep_ntt(a, d, self.mesh)
+        fb = dist_fourstep_ntt(b, d, self.mesh)
+        fc = pointwise_mult_lanes(fa, fb, d.base.q, self.bit, self.mu, d.base.is64)
+        return dist_fourstep_intt(fc, d, self.mesh)
