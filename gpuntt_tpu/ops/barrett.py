@@ -177,8 +177,15 @@ def u64_lt_strict(a: U64, b: U64):
 # ------------------------------------------------- host-side table prep
 
 def shoup_companion(values, q: int, word: int) -> np.ndarray:
-    """floor(v << word / q) for each v, exact (host, Python ints)."""
-    vals = [(int(v) << word) // q for v in np.asarray(values).ravel()]
+    """floor(v << word / q) for each v, exact (host side)."""
+    values = np.asarray(values)
     if word == 32:
-        return np.array(vals, dtype=np.uint32).reshape(np.shape(values))
-    return np.array(vals, dtype=np.uint64).reshape(np.shape(values))
+        # q < 2^30: exact in uint64
+        v = values.astype(np.uint64)
+        return ((v << np.uint64(32)) // np.uint64(q)).astype(np.uint32)
+    from .. import _native
+
+    if values.size >= 1 << 10 and _native.available():
+        return _native.shoup_table(values, q)
+    vals = [(int(v) << word) // q for v in values.ravel()]
+    return np.array(vals, dtype=np.uint64).reshape(values.shape)

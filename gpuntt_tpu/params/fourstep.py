@@ -190,6 +190,15 @@ class NTTParameters4Step:
 
     def _w_table(self, root: int, n1: int, n2: int, bitrev_rows: bool) -> np.ndarray:
         q = self.modulus.value
+        from .. import _native
+
+        if n1 * n2 >= 1 << 14 and _native.available():
+            w = (
+                _native.w_table_forward(root, q, n1, n2)
+                if bitrev_rows
+                else _native.w_table_inverse(root, q, n1, n2)
+            )
+            return w.astype(self.dtype)
         out = np.empty((n1, n2), dtype=self.dtype)
         if bitrev_rows:
             lg = n1.bit_length() - 1

@@ -65,11 +65,17 @@ def _dtype_bits(dtype) -> int:
     raise ValueError(f"dtype must be uint32 or uint64, got {dt}")
 
 
-def _power_table(base: int, q: int, size: int) -> list[int]:
+def _power_table(base: int, q: int, size: int):
     """[base^0, base^1, ..., base^(size-1)] mod q.
 
     Same values as the sequential Barrett loop (nttparameters.cu:144-168).
+    Uses the native __int128 core when available (q < 2^63 always holds
+    for the supported pools); exact-Python fallback otherwise.
     """
+    from .. import _native
+
+    if size >= 1 << 10 and _native.available():
+        return _native.power_table(base % q, q, size)
     out = [1] * size
     acc = 1
     for i in range(1, size):

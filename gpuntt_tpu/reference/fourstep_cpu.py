@@ -93,6 +93,18 @@ class NTT4StepCPU:
         """Forward 4-step NTT (ntt_4step_cpu.cu:33-68)."""
         p = self.p
         q = p.modulus.value
+        if p.dtype == np.uint64:
+            from .. import _native
+
+            if _native.available():
+                mat = np.asarray(x, dtype=np.uint64).reshape(p.n1, p.n2)
+                t = np.ascontiguousarray(mat.T)
+                t = _native.core_ntt_rows(t, p.n1_based_root_of_unity_table, q)
+                vec = np.ascontiguousarray(t.T).reshape(-1)
+                vec = _native.pointwise_mult(vec, p.W_root_of_unity_table, q)
+                mat3 = _native.core_ntt_rows(vec.reshape(p.n1, p.n2),
+                                             p.n2_based_root_of_unity_table, q)
+                return np.ascontiguousarray(mat3.T).reshape(-1)
         w = vm.to_work_array(x, q)
         bt_n1 = vm.to_work_array(bitrev_permute(p.n1_based_root_of_unity_table), q)
         bt_n2 = vm.to_work_array(bitrev_permute(p.n2_based_root_of_unity_table), q)
@@ -112,6 +124,25 @@ class NTT4StepCPU:
         """Inverse 4-step NTT (ntt_4step_cpu.cu:70-111)."""
         p = self.p
         q = p.modulus.value
+        if p.dtype == np.uint64:
+            from .. import _native
+
+            if _native.available():
+                xx = np.asarray(x, dtype=np.uint64)
+                buf = xx[intt_input_indices(p.n1, p.n2)].reshape(p.n2, p.n1)
+                buf = _native.core_intt_rows(
+                    buf, p.n1_based_inverse_root_of_unity_table, q
+                )
+                vec = np.ascontiguousarray(buf.T).reshape(-1)
+                vec = _native.pointwise_mult(
+                    vec, p.W_inverse_root_of_unity_table, q
+                )
+                mat3 = _native.core_intt_rows(
+                    vec.reshape(p.n1, p.n2), p.n2_based_inverse_root_of_unity_table, q
+                )
+                res = np.ascontiguousarray(mat3.T).reshape(-1)
+                n_inv_arr = np.full(p.n, p.n_inv, dtype=np.uint64)
+                return _native.pointwise_mult(res, n_inv_arr, q)
         w = vm.to_work_array(x, q)
         bt_n1 = vm.to_work_array(
             bitrev_permute(p.n1_based_inverse_root_of_unity_table), q

@@ -27,6 +27,13 @@ class NTTCPU:
     # -- pointwise multiply (ntt_cpu.cu:67-79) --
     def mult(self, a, b) -> np.ndarray:
         q = self.p.modulus.value
+        if self.p.dtype == np.uint64:
+            from .. import _native
+
+            if _native.available():
+                return _native.pointwise_mult(
+                    np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64), q
+                )
         wa = vm.to_work_array(a, q)
         wb = vm.to_work_array(b, q)
         return vm.from_work_array(vm.vmulmod(wa, wb, q), self.p.dtype)
@@ -37,9 +44,24 @@ class NTTCPU:
         Stage with m groups multiplies V by S[i] = table[bitreverse(i,
         logn-1)] (X_N_minus) or table[bitreverse(m+i, logn)] (X_N_plus);
         with the bit-reversed table those are the slices [0:m] / [m:2m].
+        64-bit inputs route to the native __int128 core when available
+        (a third independent implementation; cross-checked against the
+        Python path in tests).
         """
         p = self.p
         q = p.modulus.value
+        if p.dtype == np.uint64:
+            from .. import _native
+
+            if _native.available():
+                xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+                return _native.ntt_merge(
+                    np.asarray(x, dtype=np.uint64),
+                    p.logn,
+                    p.forward_root_of_unity_table,
+                    q,
+                    xnp,
+                )
         out = vm.to_work_array(x, q)
         assert out.shape[-1] == p.n
         btable = vm.to_work_array(bitrev_permute(p.forward_root_of_unity_table), q)
@@ -66,6 +88,18 @@ class NTTCPU:
         """Inverse merged NTT + n^-1 scaling (ntt_cpu.cu:130-185)."""
         p = self.p
         q = p.modulus.value
+        if p.dtype == np.uint64:
+            from .. import _native
+
+            if _native.available():
+                xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+                return _native.intt_merge(
+                    np.asarray(x, dtype=np.uint64),
+                    p.logn,
+                    p.inverse_root_of_unity_table,
+                    q,
+                    xnp,
+                )
         out = vm.to_work_array(x, q)
         btable = vm.to_work_array(bitrev_permute(p.inverse_root_of_unity_table), q)
         xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
