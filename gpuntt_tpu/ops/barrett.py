@@ -174,6 +174,58 @@ def u64_lt_strict(a: U64, b: U64):
     return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
 
 
+# ----------------------------------------------- lazy (Harvey) variants
+#
+# For transform-internal stages values may live in [0, 4q) (u32: q<2^30,
+# u64: q<2^62 — exactly the reference's documented modulus bounds,
+# modular_arith.cuh:66-67).  shoup_mul*_lazy returns [0, 2q) for ANY
+# input < 2^word (proof: r = wx - q*floor(w'x/2^word) <= q*x/2^word + q
+# < 2q), so a stage is: normalize to [0,2q) once, multiply lazily, and
+# add/sub without conditionals.  Outputs only become canonical residues
+# after the final normalization, which is where bit-exactness is defined.
+
+
+def shoup_mul32_lazy(x, w, w_shoup, q):
+    """x*w mod q + e*q with e in {0,1}; result < 2q for any uint32 x."""
+    hi = mul32x32_64(x, w_shoup).hi
+    return mul32x32_lo(x, w) - mul32x32_lo(hi, jnp.asarray(q, jnp.uint32))
+
+
+def cond_sub32(x, c):
+    """x - c if x >= c else x (one normalization step)."""
+    c = jnp.asarray(c, jnp.uint32)
+    return jnp.where(x >= c, x - c, x)
+
+
+def mul64x64_hi_approx(a: U64, b: U64) -> U64:
+    """High 64 bits of a*b, possibly UNDERestimated by 1 (drops the
+    lo*lo partial product: 12 lane muls instead of 16)."""
+    p1 = mul32x32_64(a.lo, b.hi)
+    p2 = mul32x32_64(a.hi, b.lo)
+    p3 = mul32x32_64(a.hi, b.hi)
+    w1 = p1.lo + p2.lo
+    c1 = (w1 < p1.lo).astype(jnp.uint32)
+    s2 = p1.hi + p2.hi
+    c3 = (s2 < p1.hi).astype(jnp.uint32)
+    s2b = s2 + p3.lo
+    c4 = (s2b < s2).astype(jnp.uint32)
+    w2 = s2b + c1
+    c5 = (w2 < s2b).astype(jnp.uint32)
+    return U64(p3.hi + c3 + c4 + c5, w2)
+
+
+def shoup_mul64_lazy(x: U64, w: U64, w_shoup: U64, q: U64) -> U64:
+    """x*w mod q + e*q with e in {0,1,2}; result < 3q for any x < 2^64
+    (Shoup bound 2q plus <=1q from the approximate hi)."""
+    hi = mul64x64_hi_approx(x, w_shoup)
+    return u64_sub(mul64x64_lo(x, w), mul64x64_lo(hi, q))
+
+
+def cond_sub64(x: U64, c: U64) -> U64:
+    d = u64_sub(x, c)
+    return u64_select(u64_gte(x, c), d, x)
+
+
 # ------------------------------------------------- host-side table prep
 
 def shoup_companion(values, q: int, word: int) -> np.ndarray:

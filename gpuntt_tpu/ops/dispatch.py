@@ -53,6 +53,28 @@ class NTTConfig:
     mod_inverse: int | None = None
 
 
+def _pallas_eligible(plan: MergePlan, x_shape, layout) -> bool:
+    """Kernel-path selection — the TPU analog of the reference's
+    LowRing/standard/Core_ dispatch thresholds (ntt.cu:2095-2224):
+    batched PerPolynomial transforms with 128 | N and the block within
+    VMEM reach go to the Pallas kernel; everything else takes the XLA
+    engine."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    if plan.is64:
+        # measured on v5e: the 64-bit pair kernel trails the XLA engine
+        # (5.99 vs 4.89 ms for 2^16 b128); revisit with the MXU path.
+        return False
+    if layout != NTTLayout.PerPolynomial or len(x_shape) != 2:
+        return False
+    n = x_shape[-1]
+    if n < 256 or n % 128:
+        return False
+    return plan.logn <= 18 and plan.params is not None  # VMEM-resident block
+
+
 def _signed_view(x):
     """numpy int32/int64 -> same-width unsigned bit pattern."""
     x = np.asarray(x)
@@ -80,6 +102,7 @@ def ntt_lanes(
     plan: MergePlan,
     layout: NTTLayout = NTTLayout.PerPolynomial,
     signed_input: bool = False,
+    use_pallas: bool | str = "auto",
 ):
     """Forward NTT on the lane representation (jittable building block)."""
     if signed_input:
@@ -87,6 +110,18 @@ def ntt_lanes(
             x = bo.reduce_signed64(x, bo.u64_const(plan.q))
         else:
             x = bo.reduce_signed32(x, plan.q)
+    shape = jax.tree_util.tree_leaves(x)[0].shape
+    if use_pallas == "auto":
+        use_pallas = _pallas_eligible(plan, shape, layout)
+    if use_pallas:
+        kp = plan.kernel_plan()
+        if plan.is64:
+            from .pallas_merge64 import pallas_merge2_u64
+
+            return pallas_merge2_u64(x, kp)
+        from .pallas_merge2 import pallas_merge2_u32
+
+        return pallas_merge2_u32(x, kp)
     x = _apply_layout_in(x, layout)
     y = merge_ntt_lanes(x, plan)
     return _apply_layout_out(y, layout)
@@ -97,8 +132,27 @@ def intt_lanes(
     plan: MergePlan,
     layout: NTTLayout = NTTLayout.PerPolynomial,
     signed_output: bool = False,
+    use_pallas: bool | str = "auto",
 ):
     """Inverse NTT on the lane representation (jittable building block)."""
+    shape = jax.tree_util.tree_leaves(x)[0].shape
+    if use_pallas == "auto":
+        use_pallas = _pallas_eligible(plan, shape, layout)
+    if use_pallas:
+        kp = plan.kernel_plan()
+        if plan.is64:
+            from .pallas_merge64 import pallas_merge2_u64
+
+            y = pallas_merge2_u64(x, kp, inverse=True)
+        else:
+            from .pallas_merge2 import pallas_merge2_u32
+
+            y = pallas_merge2_u32(x, kp, inverse=True)
+        if signed_output:
+            if plan.is64:
+                return bo.centered64(y, bo.u64_const(plan.q))
+            return bo.centered32(y, plan.q)
+        return y
     x = _apply_layout_in(x, layout)
     y = merge_intt_lanes(x, plan)
     y = _apply_layout_out(y, layout)

@@ -76,6 +76,7 @@ class MergePlan:
     inv_shoup: Any
     n_inv_rep: Any  # scalar lane rep of n_inv
     n_inv_shoup: Any
+    params: Any = None  # originating NTTParameters (for kernel-plan builds)
 
     @staticmethod
     def from_params(p: NTTParameters) -> "MergePlan":
@@ -107,7 +108,20 @@ class MergePlan:
             inv_shoup=rep(inv_sh),
             n_inv_rep=scal(p.n_inv),
             n_inv_shoup=scal(ninv_sh),
+            params=p,
         )
+
+    def kernel_plan(self):
+        """Lazily-built Pallas kernel plan (cached on the params object)."""
+        if self.params is None:
+            return None
+        kp = getattr(self.params, "_kernel_plan_cache", None)
+        if kp is None:
+            from .pallas_merge import KernelMergePlan
+
+            kp = KernelMergePlan.from_params(self.params)
+            self.params._kernel_plan_cache = kp
+        return kp
 
     # butterfly op bundle
     def ops(self):
