@@ -3,12 +3,20 @@
 Headline metric (BASELINE.md targets): batched 2^16 64-bit forward
 merge NTTs per second per chip, plus the butterfly-modmul roofline
 fraction.  The roofline is measured, not assumed: we time a pure
-uint32-lane multiply microkernel at the same array footprint and derive
+64-bit Shoup-modmul microkernel at the same array footprint and derive
 the chip's achievable modmul rate from the lane-multiply count of one
-Shoup butterfly.
+butterfly.
 
-Mirrors the reference's nvbench harness scope (bench_merge_ntt.cu:71-75:
-forward merge NTT latency sweep); correctness is the test suite's job.
+Timing methodology: marginal in-jit application time.  A jitted chain
+of k applications is timed for k=1 and k=4 and the slope (t4-t1)/3 is
+reported.  This removes per-dispatch overhead (which on the axon relay
+is several ms and under-synchronised: block_until_ready has been
+measured returning in 35us for a 6ms kernel) and matches the
+reference's nvbench scope, which times GPU kernels only, not launches
+(bench_merge_ntt.cu:45-47 times a CUDA-stream-scoped exec).
+
+Mirrors the reference's forward-NTT latency sweep surface
+(bench_merge_ntt.cu:71-75); correctness is the test suite's job.
 """
 
 import json
@@ -20,41 +28,49 @@ import numpy as np
 
 
 def _fetch_one(out):
-    """Force a tiny device->host read (real completion barrier).
-
-    block_until_ready under-waits for Pallas custom calls through the
-    axon relay (measured: a 6 ms kernel "completed" in 35 us), so all
-    timings here chain iterations and amortise a single fetch.
-    """
+    """Force a tiny device->host read (real completion barrier)."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(out)[0]
     return np.asarray(leaf.ravel()[0])
 
 
-def _time_it(fn, x, iters=30):
-    """Chained-iteration timing: y = fn(y) so no call can be elided,
-    one sync at the end; 1-iteration baseline subtracted."""
-    import time as _t
+def _time_chain(fn, x, k, iters=6, repeats=3):
+    """Best-of-repeats wall time of one jitted call applying fn k times.
 
-    def run(k):
-        out = fn(x)
-        _fetch_one(out)
-        t0 = _t.perf_counter()
-        out = x
+    min over repeats rejects relay latency spikes, which on the axon
+    tunnel can exceed the kernel time itself.
+    """
+    import jax
+
+    def g(v):
         for _ in range(k):
-            out = fn(out)
-        _fetch_one(out)
-        return _t.perf_counter() - t0
+            v = fn(v)
+        return v
 
-    t1 = run(1)
-    tk = run(iters + 1)
-    return max((tk - t1) / iters, 1e-9)
+    gj = jax.jit(g)
+    o = gj(x)
+    _fetch_one(o)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        o = x
+        for _ in range(iters):
+            o = gj(o)
+        _fetch_one(o)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6):
+    """Marginal per-application time: slope between k_lo and k_hi chains."""
+    t_lo = _time_chain(fn, x, k_lo, iters)
+    t_hi = _time_chain(fn, x, k_hi, iters)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from gpuntt_tpu import NTTParameters, ReductionPolynomial
     from gpuntt_tpu.ops.dispatch import ntt_lanes
@@ -69,40 +85,41 @@ def main():
     x = rng.integers(0, params.modulus.value, size=(batch, params.n), dtype=np.uint64)
     lanes = to_lanes(x, True)
 
-    # auto dispatch: Pallas kernel where eligible, XLA engine otherwise
-    fwd = jax.jit(lambda v: ntt_lanes(v, plan))
-    dt = _time_it(fwd, lanes)
+    # auto dispatch: MXU digit-matmul kernel where eligible
+    dt = time_marginal(lambda v: ntt_lanes(v, plan), lanes)
     ntts_per_sec = batch / dt
 
     # --- measured modmul roofline (compute-bound probe) ---
-    # Peak rate of our own 64-bit modmul primitive (shoup_mul64), timed
-    # as a K-deep chain fused into one kernel over a large array — the
-    # speed-of-light for any butterfly-based transform built on it.
-    # One butterfly = 1 twiddle modmul; (N/2)*logN butterflies per NTT.
+    # Peak rate of the 64-bit Shoup modmul primitive on the VPU, as a
+    # K-deep fused chain over a large array — the speed-of-light for
+    # any BUTTERFLY-based transform built on vector lanes.  One
+    # butterfly = 1 twiddle modmul; (N/2)*logN butterflies per NTT.
+    # The MXU kernel is allowed to exceed this roofline: that is the
+    # point of moving the products to the systolic array.
+    import jax.numpy as jnp
+
     from gpuntt_tpu.ops import barrett as bo
     from gpuntt_tpu.ops.limb import U64
 
-    K = 32
-    probe_elems = (64, 65536)
+    K = 16
     q = params.modulus.value
-    w_val = rng.integers(1, q)
-    ws_val = (int(w_val) << 64) // q
+    w_val = int(rng.integers(1, q))
+    ws_val = (w_val << 64) // q
     qc = bo.u64_const(q)
-    wc = bo.u64_const(int(w_val))
+    wc = bo.u64_const(w_val)
     wsc = bo.u64_const(ws_val)
-    xp = rng.integers(0, q, size=probe_elems, dtype=np.uint64)
+    xp = rng.integers(0, q, size=(64, 65536), dtype=np.uint64)
     xl = U64(
         jnp.asarray((xp >> np.uint64(32)).astype(np.uint32)),
         jnp.asarray((xp & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
     )
 
-    @jax.jit
-    def modmul_chain(v):
+    def modmul_k(v):
         for _ in range(K):
             v = bo.shoup_mul64(v, wc, wsc, qc)
         return v
 
-    dt_mm = _time_it(modmul_chain, xl)
+    dt_mm = time_marginal(modmul_k, xl, iters=8)
     modmuls_per_sec = K * xp.size / dt_mm
 
     butterflies_per_ntt = (params.n // 2) * params.logn
@@ -118,7 +135,8 @@ def main():
         "detail": {
             "latency_ms_per_batch": round(dt * 1e3, 3),
             "modmul_roofline_frac": round(roofline_frac, 4),
-            "peak_modmuls_per_sec": f"{modmuls_per_sec:.3e}",
+            "peak_vpu_modmuls_per_sec": f"{modmuls_per_sec:.3e}",
+            "timing": "marginal in-jit application (k=1 vs k=4 chains)",
             "device": str(dev),
         },
     }

@@ -53,26 +53,31 @@ class NTTConfig:
     mod_inverse: int | None = None
 
 
-def _pallas_eligible(plan: MergePlan, x_shape, layout) -> bool:
+def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
     """Kernel-path selection — the TPU analog of the reference's
-    LowRing/standard/Core_ dispatch thresholds (ntt.cu:2095-2224):
-    batched PerPolynomial transforms with 128 | N and the block within
-    VMEM reach go to the Pallas kernel; everything else takes the XLA
-    engine."""
+    LowRing/standard/Core_ dispatch thresholds (ntt.cu:2095-2224).
+
+    64-bit data routes to the MXU digit-matmul kernel (pallas_mxu.py)
+    — measured 2.1x over the XLA butterfly engine at 2^16 b128 on v5e
+    — when the modulus fits its q < 2^60 bound; 32-bit batched
+    PerPolynomial transforms take the roll-based VPU kernel; everything
+    else takes the XLA engine."""
     import jax
 
     if jax.default_backend() != "tpu":
-        return False
-    if plan.is64:
-        # measured on v5e: the 64-bit pair kernel trails the XLA engine
-        # (5.99 vs 4.89 ms for 2^16 b128); revisit with the MXU path.
-        return False
+        return None
     if layout != NTTLayout.PerPolynomial or len(x_shape) != 2:
-        return False
+        return None
+    if plan.params is None:
+        return None
+    if plan.is64:
+        if 12 <= plan.logn <= 17 and plan.q < (1 << 60):
+            return "mxu"
+        return None
     n = x_shape[-1]
     if n < 256 or n % 128:
-        return False
-    return plan.logn <= 18 and plan.params is not None  # VMEM-resident block
+        return None
+    return "vpu" if plan.logn <= 18 else None  # VMEM-resident block
 
 
 def _signed_view(x):
@@ -112,7 +117,13 @@ def ntt_lanes(
             x = bo.reduce_signed32(x, plan.q)
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
-        use_pallas = _pallas_eligible(plan, shape, layout)
+        use_pallas = _kernel_path(plan, shape, layout)
+    elif use_pallas is True:
+        use_pallas = "mxu" if plan.is64 else "vpu"
+    if use_pallas == "mxu":
+        from .pallas_mxu import mxu_plan, pallas_mxu_u64
+
+        return pallas_mxu_u64(x, mxu_plan(plan.params))
     if use_pallas:
         kp = plan.kernel_plan()
         if plan.is64:
@@ -137,17 +148,22 @@ def intt_lanes(
     """Inverse NTT on the lane representation (jittable building block)."""
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
-        use_pallas = _pallas_eligible(plan, shape, layout)
+        use_pallas = _kernel_path(plan, shape, layout)
+    elif use_pallas is True:
+        use_pallas = "mxu" if plan.is64 else "vpu"
     if use_pallas:
-        kp = plan.kernel_plan()
-        if plan.is64:
+        if use_pallas == "mxu":
+            from .pallas_mxu import mxu_plan, pallas_mxu_u64
+
+            y = pallas_mxu_u64(x, mxu_plan(plan.params), inverse=True)
+        elif plan.is64:
             from .pallas_merge64 import pallas_merge2_u64
 
-            y = pallas_merge2_u64(x, kp, inverse=True)
+            y = pallas_merge2_u64(x, plan.kernel_plan(), inverse=True)
         else:
             from .pallas_merge2 import pallas_merge2_u32
 
-            y = pallas_merge2_u32(x, kp, inverse=True)
+            y = pallas_merge2_u32(x, plan.kernel_plan(), inverse=True)
         if signed_output:
             if plan.is64:
                 return bo.centered64(y, bo.u64_const(plan.q))

@@ -1,0 +1,387 @@
+"""MXU-resident merged NTT — the 64-bit hot path on the systolic array.
+
+The reference's Data64 kernels emulate 64x64->128 products with PTX
+uint128 math on CUDA cores (modular_arith.cuh:296-339).  A TPU has a
+far better tool for wide integer multiplies than its 32-bit vector
+lanes: the 128x128 MXU.  This kernel computes the merged NTT through
+the exact A x B matrix factorization (validated in
+tests/test_factorization.py and tests/test_mxu.py)
+
+    merge_ntt(x).reshape(A, B) = (Mcol @ X) o W @ Rrow^T   (mod q)
+
+with every modular matrix product decomposed into radix-256 digit
+matmuls on the MXU:
+
+  - host matrices (Mcol / Rrow^T and inverses) -> 8 BALANCED int8
+    digits (exact, |d| <= 128);
+  - device operands -> 8 OFFSET digits (byte - 128, one sub per byte);
+    the offset's contribution is linear, so it folds into per-diagonal
+    correction vectors precomputed on the host;
+  - 15 diagonal int32 accumulators (|acc| < 2^28 for A <= 512, exact);
+  - diagonals recombine into three u64 groups (radix 2^40) and reduce
+    with a 2-step Horner of lazy Shoup multiplies by (2^40 mod q) —
+    so the only per-element VPU work is byte extraction, the group
+    carries, two lazy Shoup products, and one final canonicalization.
+
+Everything is exact integer arithmetic end-to-end; outputs are
+bit-identical to merge_ntt_lanes and hence to the reference GPU_NTT
+(ntt.cu:2076-2256).  Requires q < 2^60 (all reference pool primes
+qualify; larger moduli fall back to the VPU kernels).
+
+W-scaling between the phases is one lazy Shoup multiply; the inverse
+folds n^-1 into the inverse column matrix (last factor applied),
+mirroring the reference's last-kernel placement (ntt.cu:1170-1192).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params.bitrev import bitreverse
+from ..params.merge import NTTParameters, ReductionPolynomial
+from . import barrett as bo
+from .limb import U64, u64_add, u64_shl
+from .pallas_merge import _pow_table
+
+ND = 8                 # radix-256 digits per operand
+NDIAG = 2 * ND - 1     # 15
+OFF = 1 << 28          # diagonal sign offset (|acc| < 2^28 for A <= 512)
+GROUP = 5              # diagonals per u64 group (radix 2^40 groups)
+
+
+# ------------------------------------------------------------- host tables
+
+
+def balanced_digits(t: np.ndarray) -> np.ndarray:
+    """uint64 (..,) -> (ND, ..) int8 balanced radix-256 digits, exact.
+
+    d_i in [-128, 127], t = sum d_i 256^i.  Vectorized byte walk with
+    carry; valid for t < 2^63 (top byte stays below 127 after carry).
+    """
+    t = np.asarray(t, dtype=np.uint64)
+    out = np.empty((ND,) + t.shape, dtype=np.int8)
+    carry = np.zeros(t.shape, dtype=np.int64)
+    for i in range(ND):
+        b = ((t >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int64) + carry
+        carry = (b > 127).astype(np.int64)
+        out[i] = (b - 256 * carry).astype(np.int8)
+    assert not carry.any(), "value out of balanced-digit range"
+    return out
+
+
+def _pow_matrix(bases: np.ndarray, q: int, length: int) -> np.ndarray:
+    """rows[i] = [bases[i]^0, bases[i]^1, ...] mod q, exact."""
+    return np.stack([_pow_table(int(b), q, length) for b in bases])
+
+
+def _corr_left(tdig: np.ndarray) -> np.ndarray:
+    """Phase with host matrix on the LEFT: dot(T_i, (x-128)_j) misses
+    128 * rowsum(T_i), constant along columns -> (NDIAG, A, 1) int32."""
+    rows = tdig.astype(np.int64).sum(axis=2)  # (ND, A)
+    corr = np.zeros((NDIAG, tdig.shape[1], 1), dtype=np.int64)
+    for i in range(ND):
+        for j in range(ND):
+            corr[i + j, :, 0] += 128 * rows[i]
+    assert np.abs(corr).max() < OFF
+    return corr.astype(np.int32)
+
+
+def _corr_right(tdig: np.ndarray) -> np.ndarray:
+    """Host matrix on the RIGHT: dot((y-128)_j, T_i) misses
+    128 * colsum(T_i), constant along rows -> (NDIAG, 1, B') int32."""
+    cols = tdig.astype(np.int64).sum(axis=1)  # (ND, B')
+    corr = np.zeros((NDIAG, 1, tdig.shape[2]), dtype=np.int64)
+    for i in range(ND):
+        for j in range(ND):
+            corr[i + j, 0, :] += 128 * cols[i]
+    assert np.abs(corr).max() < OFF
+    return corr.astype(np.int32)
+
+
+def _split_u32(a: np.ndarray):
+    a = np.asarray(a, dtype=np.uint64)
+    return (
+        (a >> np.uint64(32)).astype(np.uint32),
+        (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+
+
+@dataclass(frozen=True)
+class MXUMergePlan:
+    """Digit-decomposed factorization tables for the MXU kernel."""
+
+    logn: int
+    q: int
+    A: int
+    B: int
+    # forward: left matrix Mcol, W, right matrix Rrow^T
+    fwd_left: Any     # (ND, A, A) int8
+    fwd_left_corr: Any
+    fwd_right: Any    # (ND, B, B) int8  (already transposed)
+    fwd_right_corr: Any
+    w_fwd: Any        # 4x (A, B) uint32: hi, lo, shoup hi, shoup lo
+    # inverse: right matrix Ginv_row^T first, Winv, left matrix Ginv_col*n^-1
+    inv_right: Any
+    inv_right_corr: Any
+    inv_left: Any
+    inv_left_corr: Any
+    w_inv: Any
+    # reduction constants
+    r40: int
+    r40s: int
+    cadd: int
+    canon_chain: tuple
+
+    @staticmethod
+    def from_params(p: NTTParameters) -> "MXUMergePlan":
+        q = p.modulus.value
+        if q >= 1 << 60:
+            raise ValueError("MXU path requires q < 2^60")
+        n = p.n
+        logB = (p.logn + 1) // 2
+        B = 1 << logB
+        A = n // B
+        logA = p.logn - logB
+        assert A <= 512, "A <= 512 keeps diagonal accumulators exact"
+        if n > 1 << 17:
+            raise ValueError("MXU path holds one (A, B) poly in VMEM; "
+                             "N <= 2^17 (larger rings take the 4-step or "
+                             "VPU engines)")
+        brA = np.array([bitreverse(a, logA) for a in range(A)], dtype=object)
+        brB = np.array([bitreverse(b, logB) for b in range(B)], dtype=object)
+
+        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        if xnp:
+            r, ri = p.root_of_unity, p.inverse_root_of_unity
+            m_base = [pow(r, B * (2 * int(a) + 1), q) for a in brA]
+            w_base = [pow(r, 2 * int(a) + 1, q) for a in brA]
+            rr_base = [pow(r, 2 * A * int(b), q) for b in brB]
+            mi_base = [pow(ri, B * (2 * int(a) + 1), q) for a in brA]
+            wi_base = [pow(ri, 2 * int(a) + 1, q) for a in brA]
+            rri_base = [pow(ri, 2 * A * int(b), q) for b in brB]
+        else:
+            r, ri = p.root_of_unity, p.inverse_root_of_unity
+            m_base = [pow(r, B * int(a), q) for a in brA]
+            w_base = [pow(r, int(a), q) for a in brA]
+            rr_base = [pow(r, A * int(b), q) for b in brB]
+            mi_base = [pow(ri, B * int(a), q) for a in brA]
+            wi_base = [pow(ri, int(a), q) for a in brA]
+            rri_base = [pow(ri, A * int(b), q) for b in brB]
+
+        # forward: Mcol[a, a2] = m_base[a]^a2 ; R[b', b] = rr_base[b']^b
+        mcol = _pow_matrix(np.array(m_base, dtype=object), q, A)
+        w_f = _pow_matrix(np.array(w_base, dtype=object), q, B)
+        rrT = _pow_matrix(np.array(rr_base, dtype=object), q, B).T  # (b, b')
+        # inverse right-mult table T[b1, b] = Ginv_row[b, b1] =
+        # rri_base[b1]^b — _pow_matrix rows are already indexed by b1
+        ginv_rowT = _pow_matrix(np.array(rri_base, dtype=object), q, B)
+        ginv_colT = _pow_matrix(np.array(mi_base, dtype=object), q, A)  # [a1, a2]
+        # n^-1 folded into the last-applied factor; exact object math —
+        # uint64 would overflow on the product
+        ginv_col = (ginv_colT.T.astype(object) * int(p.n_inv)) % q       # [a2, a1]
+        w_i = _pow_matrix(np.array(wi_base, dtype=object), q, B)
+
+        def dig(m):
+            return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)))
+
+        def wpack(wm):
+            wm = wm.astype(np.uint64)
+            ws = bo.shoup_companion(wm, q, 64)
+            whi, wlo = _split_u32(wm)
+            wshi, wslo = _split_u32(ws)
+            return (whi, wlo, wshi, wslo)
+
+        fwd_left = dig(mcol)
+        fwd_right = dig(rrT)
+        inv_right = dig(ginv_rowT)
+        inv_left = dig(ginv_col)
+
+        r40 = (1 << 40) % q
+        # end-of-combine constant: -(sum of OFF placements) mod q
+        offtot = 0
+        for d in range(NDIAG):
+            g, k = divmod(d, GROUP)
+            offtot += (OFF << (8 * k)) << (40 * g)
+        cadd = (-offtot) % q
+        # canonicalization chain: s < 3q (Horner tail) + 2^61.2 (G0 max)
+        # + q (cadd)
+        gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
+        smax = 4 * q + gmax
+        m = 1
+        while m * q <= smax:
+            m *= 2
+        chain = []
+        while m >= 1:
+            chain.append(m)
+            m //= 2
+
+        # tables stay host numpy: they enter each trace as compile-time
+        # constants, so a plan built (and cached) inside one jit trace
+        # never leaks tracers into the next
+        return MXUMergePlan(
+            logn=p.logn, q=q, A=A, B=B,
+            fwd_left=fwd_left,
+            fwd_left_corr=_corr_left(fwd_left),
+            fwd_right=fwd_right,
+            fwd_right_corr=_corr_right(fwd_right),
+            w_fwd=wpack(w_f),
+            inv_right=inv_right,
+            inv_right_corr=_corr_right(inv_right),
+            inv_left=inv_left,
+            inv_left_corr=_corr_left(inv_left),
+            w_inv=wpack(w_i),
+            r40=r40,
+            r40s=(r40 << 64) // q,
+            cadd=cadd,
+            canon_chain=tuple(chain),
+        )
+
+
+def mxu_plan(params: NTTParameters) -> MXUMergePlan:
+    """Cached MXUMergePlan for a parameter object."""
+    plan = getattr(params, "_mxu_plan_cache", None)
+    if plan is None:
+        plan = MXUMergePlan.from_params(params)
+        params._mxu_plan_cache = plan
+    return plan
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _offset_digits(x: U64):
+    """u64 (hi, lo) pair -> 8 int8 planes of (byte - 128)."""
+    digs = []
+    for d in range(ND):
+        src = x.lo if d < 4 else x.hi
+        s = 8 * (d % 4)
+        byte = (src >> s) & jnp.uint32(0xFF)
+        digs.append((byte.astype(jnp.int32) - 128).astype(jnp.int8))
+    return digs
+
+
+def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
+    """One modular matrix product on the MXU.
+
+    left=True:  out = T @ X      (contract A; T (ND, A', A), X (A, B))
+    left=False: out = X @ T      (contract B; T (ND, B, B'), X (A, B))
+    Input may be any u64 value (digits represent it exactly); output is
+    a lazy residue < 4q + 2^61.2 that the caller reduces or feeds on.
+    """
+    digs = _offset_digits(x)
+    out_shape = ((t_ref.shape[1], x.hi.shape[1]) if left
+                 else (x.hi.shape[0], t_ref.shape[2]))
+
+    qc = bo.u64_const(consts["q"])
+    r40c = bo.u64_const(consts["r40"])
+    r40sc = bo.u64_const(consts["r40s"])
+
+    groups = []
+    g = None
+    for d in range(NDIAG):
+        acc = jnp.broadcast_to(corr_ref[d], out_shape)
+        lo_i = max(0, d - (ND - 1))
+        for i in range(lo_i, min(d, ND - 1) + 1):
+            j = d - i
+            if left:
+                prod = jax.lax.dot_general(
+                    t_ref[i], digs[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            else:
+                prod = jax.lax.dot_general(
+                    digs[j], t_ref[i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            acc = acc + prod
+        a = (acc + OFF).astype(jnp.uint32)  # < 2^29, non-negative
+        k = d % GROUP
+        piece = u64_shl(U64(jnp.zeros_like(a), a), 8 * k)
+        g = piece if k == 0 else u64_add(g, piece)
+        if k == GROUP - 1 or d == NDIAG - 1:
+            groups.append(g)
+            g = None
+
+    # Horner over radix-2^40 groups: v = (G2 * 2^40 + G1) * 2^40 + G0
+    s = groups[-1]
+    for gi in range(len(groups) - 2, -1, -1):
+        s = u64_add(bo.shoup_mul64_lazy(s, r40c, r40sc, qc), groups[gi])
+    s = u64_add(s, bo.u64_const(consts["cadd"]))
+    return s
+
+
+def _canon(s: U64, consts) -> U64:
+    for m in consts["chain"]:
+        s = bo.cond_sub64(s, bo.u64_const(m * consts["q"]))
+    return s
+
+
+def _w_mul_lazy(x: U64, w_refs, consts) -> U64:
+    whi, wlo, wshi, wslo = w_refs
+    return bo.shoup_mul64_lazy(
+        x, U64(whi[...], wlo[...]), U64(wshi[...], wslo[...]),
+        bo.u64_const(consts["q"]))
+
+
+def _fwd_kernel(lh, lcorr, rh, rcorr, wh, wl, wsh, wsl, xh, xl, oh, ol,
+                *, consts):
+    x = U64(xh[0], xl[0])
+    y = _modmat_phase(x, lh, lcorr, True, consts)          # Mcol @ X, lazy
+    y = _w_mul_lazy(y, (wh, wl, wsh, wsl), consts)          # o W, < 3q
+    z = _modmat_phase(y, rh, rcorr, False, consts)          # @ Rrow^T
+    z = _canon(z, consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _inv_kernel(rh, rcorr, lh, lcorr, wh, wl, wsh, wsl, xh, xl, oh, ol,
+                *, consts):
+    x = U64(xh[0], xl[0])
+    y = _modmat_phase(x, rh, rcorr, False, consts)          # @ Ginv_row^T
+    y = _w_mul_lazy(y, (wh, wl, wsh, wsl), consts)          # o W^-1, < 3q
+    z = _modmat_phase(y, lh, lcorr, True, consts)           # (n^-1 Ginv_col) @
+    z = _canon(z, consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def pallas_mxu_u64(x: U64, plan: MXUMergePlan, inverse: bool = False,
+                   interpret: bool = False) -> U64:
+    """Forward/inverse merged NTT on (batch, N) u64 lane pairs via MXU."""
+    batch, n = x.hi.shape
+    A, B = plan.A, plan.B
+    consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
+                  chain=plan.canon_chain)
+
+    if inverse:
+        kernel = _inv_kernel
+        tabs = [plan.inv_right, plan.inv_right_corr,
+                plan.inv_left, plan.inv_left_corr, *plan.w_inv]
+    else:
+        kernel = _fwd_kernel
+        tabs = [plan.fwd_left, plan.fwd_left_corr,
+                plan.fwd_right, plan.fwd_right_corr, *plan.w_fwd]
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    table_specs = [fullspec(t) for t in tabs]
+    blk = pl.BlockSpec((1, A, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    oh, ol = pl.pallas_call(
+        functools.partial(kernel, consts=consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid=(batch,),
+        in_specs=[*table_specs, blk, blk],
+        out_specs=(blk, blk),
+        interpret=interpret,
+    )(*tabs, x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+    return U64(oh.reshape(batch, n), ol.reshape(batch, n))

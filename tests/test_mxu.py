@@ -1,0 +1,81 @@
+"""MXU merge-NTT kernel parity (interpreter mode — CPU-runnable).
+
+The digit-matmul factorization (balanced host digits x offset device
+digits on the MXU, diagonal recombination, Horner Shoup reduction) must
+be bit-exact vs the golden model for both reduction polynomials, odd
+and even logn, forward and inverse.  Compiled on-TPU runs are exercised
+by bench.py / verify.
+"""
+
+import numpy as np
+import pytest
+
+from gpuntt_tpu import NTTCPU, NTTParameters, ReductionPolynomial
+from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan, balanced_digits, pallas_mxu_u64
+
+
+@pytest.mark.parametrize(
+    "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
+)
+@pytest.mark.parametrize("logn", [8, 9, 12])
+def test_mxu_u64_parity(poly, logn, rng):
+    p = NTTParameters(logn, poly, dtype=np.uint64)
+    plan = MXUMergePlan.from_params(p)
+    gen = NTTCPU(p)
+    x = rng.integers(0, p.modulus.value, size=(3, p.n), dtype=np.uint64)
+
+    got = from_lanes(pallas_mxu_u64(to_lanes(x, True), plan, interpret=True), True)
+    exp = np.stack([gen.ntt(x[i]) for i in range(3)])
+    np.testing.assert_array_equal(got, exp)
+
+    back = from_lanes(
+        pallas_mxu_u64(to_lanes(exp, True), plan, inverse=True, interpret=True),
+        True,
+    )
+    np.testing.assert_array_equal(back, x)
+
+
+def test_mxu_intt_matches_engine(rng):
+    """Inverse kernel equals merge_intt_lanes on arbitrary residues (not
+    just on forward outputs)."""
+    import jax
+
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, merge_intt_lanes
+
+    p = NTTParameters(9, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    mplan = MXUMergePlan.from_params(p)
+    eplan = MergePlan.from_params(p)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+    exp = from_lanes(jax.jit(lambda v: merge_intt_lanes(v, eplan))(to_lanes(x, True)), True)
+    got = from_lanes(pallas_mxu_u64(to_lanes(x, True), mplan, inverse=True,
+                                    interpret=True), True)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_balanced_digits_exact(rng):
+    v = rng.integers(0, 1 << 62, size=257, dtype=np.uint64)
+    d = balanced_digits(v).astype(np.int64)
+    recon = np.zeros(v.shape, dtype=object)
+    for i in range(d.shape[0]):
+        recon += d[i].astype(object) * (256 ** i)
+    assert all(int(a) == int(b) for a, b in zip(recon, v))
+    assert d.max() <= 127 and d.min() >= -128
+
+
+def test_mxu_plan_rejects_wide_modulus():
+    # params-like object with a modulus past the q < 2^60 kernel bound
+    class FakeMod:
+        value = (1 << 61) + 1
+
+    class FakeParams:
+        modulus = FakeMod()
+        n = 256
+        logn = 8
+        poly_reduction = ReductionPolynomial.X_N_minus
+        root_of_unity = 3
+        inverse_root_of_unity = 5
+        n_inv = 7
+
+    with pytest.raises(ValueError):
+        MXUMergePlan.from_params(FakeParams())
