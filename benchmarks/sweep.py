@@ -1,0 +1,122 @@
+"""Latency sweep harness — the nvbench-equivalent measurement surface.
+
+Mirrors the reference's benchmark binaries (bench_merge_ntt.cu:71-75,
+:137-141; bench_4step_ntt.cu:96-100, :185-189): forward/inverse merge
+NTT and 4-step NTT latency over logN sweeps, for 32- and 64-bit data.
+
+Timing is marginal in-jit application time (see bench.py) — the analog
+of nvbench's stream-scoped kernel timing, excluding dispatch.
+
+Each line is one JSON record; a summary table prints at the end.
+
+Usage:
+  python benchmarks/sweep.py [--engine merge|4step|all]
+                             [--sizes 12,14,16,...] [--batch-mb 64]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from bench import time_marginal  # noqa: E402  (marginal-timing core)
+
+
+def bench_merge(logn: int, dtype, batch: int, rng):
+    import jax
+
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial
+    from gpuntt_tpu.ops.dispatch import intt_lanes, ntt_lanes
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, to_lanes
+
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=dtype)
+    plan = MergePlan.from_params(p)
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
+    lanes = to_lanes(x.astype(dtype) if dtype == np.uint32 else x, plan.is64)
+    fwd = time_marginal(lambda v: ntt_lanes(v, plan), lanes)
+    inv = time_marginal(lambda v: intt_lanes(v, plan), lanes)
+    return fwd, inv
+
+
+def bench_4step(logn: int, dtype, batch: int, rng):
+    import jax
+
+    from gpuntt_tpu import NTTParameters4Step, ReductionPolynomial
+    from gpuntt_tpu.ops.fourstep import (FourStepPlan, fourstep_intt_lanes,
+                                         fourstep_ntt_lanes)
+    from gpuntt_tpu.ops.merge_ntt import to_lanes
+
+    p = NTTParameters4Step(logn, ReductionPolynomial.X_N_minus, dtype=dtype)
+    plan = FourStepPlan.from_params(p)
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
+    lanes = to_lanes(x.astype(dtype) if dtype == np.uint32 else x, plan.is64)
+    # core-only timing, caller-side transposes excluded — matching the
+    # reference bench, which times GPU_4STEP_NTT alone
+    fwd = time_marginal(lambda v: fourstep_ntt_lanes(v, plan), lanes)
+    inv = time_marginal(lambda v: fourstep_intt_lanes(v, plan), lanes)
+    return fwd, inv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", default="all", choices=["merge", "4step", "all"])
+    ap.add_argument("--sizes", default="12,14,16,18,20,22,24")
+    ap.add_argument("--dtypes", default="u32,u64")
+    ap.add_argument("--batch-mb", type=int, default=64,
+                    help="total data footprint per run (fixes work per size)")
+    args = ap.parse_args()
+
+    import jax
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    dtypes = [np.uint32 if d == "u32" else np.uint64
+              for d in args.dtypes.split(",")]
+    rng = np.random.default_rng(0)
+    dev = str(jax.devices()[0])
+    rows = []
+
+    for dtype in dtypes:
+        dname = "u32" if dtype == np.uint32 else "u64"
+        for logn in sizes:
+            n = 1 << logn
+            itemsize = 4 if dtype == np.uint32 else 8
+            batch = max(1, (args.batch_mb << 20) // (n * itemsize))
+            for engine in (["merge", "4step"] if args.engine == "all"
+                           else [args.engine]):
+                if engine == "4step" and not 12 <= logn <= 24:
+                    continue
+                try:
+                    f = bench_merge if engine == "merge" else bench_4step
+                    fwd, inv = f(logn, dtype, batch, rng)
+                except Exception as e:
+                    print(json.dumps({"engine": engine, "logn": logn,
+                                      "dtype": dname,
+                                      "error": f"{type(e).__name__}: {e}"[:200]}))
+                    continue
+                rec = {
+                    "engine": engine, "logn": logn, "dtype": dname,
+                    "batch": batch,
+                    "fwd_ms_per_ntt": round(fwd / batch * 1e3, 6),
+                    "inv_ms_per_ntt": round(inv / batch * 1e3, 6),
+                    "fwd_ntts_per_sec": round(batch / fwd, 1),
+                    "inv_ntts_per_sec": round(batch / inv, 1),
+                    "device": dev,
+                }
+                rows.append(rec)
+                print(json.dumps(rec), flush=True)
+
+    if rows:
+        print(f"\n{'engine':7s} {'dtype':5s} {'logN':4s} {'batch':6s} "
+              f"{'fwd NTTs/s':>12s} {'inv NTTs/s':>12s}")
+        for r in rows:
+            print(f"{r['engine']:7s} {r['dtype']:5s} {r['logn']:<4d} "
+                  f"{r['batch']:<6d} {r['fwd_ntts_per_sec']:>12.0f} "
+                  f"{r['inv_ntts_per_sec']:>12.0f}")
+
+
+if __name__ == "__main__":
+    main()

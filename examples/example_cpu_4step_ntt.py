@@ -1,0 +1,49 @@
+"""CPU 4-step NTT example — `cpu_4step_ntt_examples` parity.
+
+Round-trip property of the 4-step golden model: NTT -> pointwise mult
+-> INTT equals schoolbook mod X^N - 1 (test_cpu_4step_ntt.cu:64-78).
+
+Usage: python example_cpu_4step_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from gpuntt_tpu import (
+    NTT4StepCPU,
+    NTTParameters4Step,
+    ReductionPolynomial,
+    check_result,
+    schoolbook_poly_multiplication,
+)
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    p = NTTParameters4Step(logn, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    gen = NTT4StepCPU(p)
+    q = p.modulus.value
+    rng = np.random.default_rng(0)
+
+    ok = True
+    for _ in range(batch):
+        a = rng.integers(0, q, size=p.n, dtype=np.uint64)
+        b = rng.integers(0, q, size=p.n, dtype=np.uint64)
+        got = gen.intt(gen.mult(gen.ntt(a), gen.ntt(b)))
+        exp = schoolbook_poly_multiplication(
+            a, b, p.modulus, ReductionPolynomial.X_N_minus
+        )
+        ok &= check_result(got, exp)
+
+    print("All Correct." if ok else "Error!")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
