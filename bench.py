@@ -22,51 +22,12 @@ Mirrors the reference's forward-NTT latency sweep surface
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def _fetch_one(out):
-    """Force a tiny device->host read (real completion barrier)."""
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return np.asarray(leaf.ravel()[0])
-
-
-def _time_chain(fn, x, k, iters=6, repeats=3):
-    """Best-of-repeats wall time of one jitted call applying fn k times.
-
-    min over repeats rejects relay latency spikes, which on the axon
-    tunnel can exceed the kernel time itself.
-    """
-    import jax
-
-    def g(v):
-        for _ in range(k):
-            v = fn(v)
-        return v
-
-    gj = jax.jit(g)
-    o = gj(x)
-    _fetch_one(o)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        o = x
-        for _ in range(iters):
-            o = gj(o)
-        _fetch_one(o)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
-def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6):
-    """Marginal per-application time: slope between k_lo and k_hi chains."""
-    t_lo = _time_chain(fn, x, k_lo, iters)
-    t_hi = _time_chain(fn, x, k_hi, iters)
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+from gpuntt_tpu.utils.timing import time_marginal  # noqa: E402
 
 
 def main():

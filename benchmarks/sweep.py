@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-from bench import time_marginal  # noqa: E402  (marginal-timing core)
+from gpuntt_tpu.utils.timing import time_marginal  # noqa: E402
 
 
 def bench_merge(logn: int, dtype, batch: int, rng):

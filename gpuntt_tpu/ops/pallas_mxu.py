@@ -142,14 +142,28 @@ class MXUMergePlan:
 
     @staticmethod
     def from_params(p: NTTParameters) -> "MXUMergePlan":
-        q = p.modulus.value
+        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        return MXUMergePlan.from_spec(
+            p.modulus.value, p.logn, p.root_of_unity,
+            p.inverse_root_of_unity, xnp, p.n_inv)
+
+    @staticmethod
+    def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
+                  n_inv: int) -> "MXUMergePlan":
+        """Plan for a merge NTT given only its field spec.
+
+        `root`/`iroot` follow the parameter conventions: for X_N_minus
+        an N-th root omega; for X_N_plus a 2N-th root psi.  `n_inv`
+        (folded into the inverse's last matrix) need not equal N^-1 —
+        the large-ring composition passes partial scalings.
+        """
         if q >= 1 << 60:
             raise ValueError("MXU path requires q < 2^60")
-        n = p.n
-        logB = (p.logn + 1) // 2
+        n = 1 << logn
+        logB = min(logn, max((logn + 1) // 2, 7))
         B = 1 << logB
         A = n // B
-        logA = p.logn - logB
+        logA = logn - logB
         assert A <= 512, "A <= 512 keeps diagonal accumulators exact"
         if n > 1 << 17:
             raise ValueError("MXU path holds one (A, B) poly in VMEM; "
@@ -158,9 +172,8 @@ class MXUMergePlan:
         brA = np.array([bitreverse(a, logA) for a in range(A)], dtype=object)
         brB = np.array([bitreverse(b, logB) for b in range(B)], dtype=object)
 
-        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
         if xnp:
-            r, ri = p.root_of_unity, p.inverse_root_of_unity
+            r, ri = root, iroot
             m_base = [pow(r, B * (2 * int(a) + 1), q) for a in brA]
             w_base = [pow(r, 2 * int(a) + 1, q) for a in brA]
             rr_base = [pow(r, 2 * A * int(b), q) for b in brB]
@@ -168,7 +181,7 @@ class MXUMergePlan:
             wi_base = [pow(ri, 2 * int(a) + 1, q) for a in brA]
             rri_base = [pow(ri, 2 * A * int(b), q) for b in brB]
         else:
-            r, ri = p.root_of_unity, p.inverse_root_of_unity
+            r, ri = root, iroot
             m_base = [pow(r, B * int(a), q) for a in brA]
             w_base = [pow(r, int(a), q) for a in brA]
             rr_base = [pow(r, A * int(b), q) for b in brB]
@@ -186,7 +199,7 @@ class MXUMergePlan:
         ginv_colT = _pow_matrix(np.array(mi_base, dtype=object), q, A)  # [a1, a2]
         # n^-1 folded into the last-applied factor; exact object math —
         # uint64 would overflow on the product
-        ginv_col = (ginv_colT.T.astype(object) * int(p.n_inv)) % q       # [a2, a1]
+        ginv_col = (ginv_colT.T.astype(object) * int(n_inv)) % q       # [a2, a1]
         w_i = _pow_matrix(np.array(wi_base, dtype=object), q, B)
 
         def dig(m):
@@ -227,7 +240,7 @@ class MXUMergePlan:
         # constants, so a plan built (and cached) inside one jit trace
         # never leaks tracers into the next
         return MXUMergePlan(
-            logn=p.logn, q=q, A=A, B=B,
+            logn=logn, q=q, A=A, B=B,
             fwd_left=fwd_left,
             fwd_left_corr=_corr_left(fwd_left),
             fwd_right=fwd_right,
@@ -245,11 +258,34 @@ class MXUMergePlan:
         )
 
 
+def plan_to_device(plan):
+    """Move a plan's numpy tables to the device (eagerly, even under an
+    ambient trace) so they enter compilations as runtime buffers rather
+    than multi-MB inline HLO constants."""
+    import dataclasses
+
+    def conv(v):
+        if isinstance(v, np.ndarray):
+            return jax.device_put(v)
+        if isinstance(v, tuple) and v and isinstance(v[0], np.ndarray):
+            return tuple(jax.device_put(t) for t in v)
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            return plan_to_device(v)
+        return v
+
+    with jax.ensure_compile_time_eval():
+        return dataclasses.replace(
+            plan,
+            **{f.name: conv(getattr(plan, f.name))
+               for f in dataclasses.fields(plan)},
+        )
+
+
 def mxu_plan(params: NTTParameters) -> MXUMergePlan:
-    """Cached MXUMergePlan for a parameter object."""
+    """Cached device-resident MXUMergePlan for a parameter object."""
     plan = getattr(params, "_mxu_plan_cache", None)
     if plan is None:
-        plan = MXUMergePlan.from_params(params)
+        plan = plan_to_device(MXUMergePlan.from_params(params))
         params._mxu_plan_cache = plan
     return plan
 

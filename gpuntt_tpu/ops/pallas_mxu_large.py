@@ -1,0 +1,262 @@
+"""Large-ring merged NTT on the MXU (logn 18-24) — six-step composition.
+
+pallas_mxu.py holds a whole (A, B) polynomial in VMEM, capping it at
+N <= 2^17.  Larger rings recurse the same factorization once more:
+
+    merge_N(x).reshape(A, B) = merge_B( W o colNTT_A(x) )  per row
+
+with A = 128 columns handled by one digit-matmul Pallas kernel gridded
+over (batch, B-tiles), and the B-point row transforms delegated to the
+in-VMEM MXU kernel as a (batch*A, B) batch (B <= 2^17).  This is the
+TPU analog of the reference's multi-launch ForwardCore/ForwardCore_
+split for n >= 2^25 (ntt.cu:2163-2224): the grid boundary replaces the
+kernel-launch boundary as the "communication round".
+
+The W twiddle table for 2^24 would be 268 MB per direction; instead W
+factors exactly as
+
+    W[a, jT + t] = base_a^(jT) * base_a^t      (T = column tile width)
+
+so the kernel multiplies by a small (A, T) tile table and a per-tile
+(A, 1) scale column — two lazy Shoup products instead of one, and no
+big table anywhere.  All arithmetic is exact; outputs are bit-identical
+to merge_ntt_lanes.  Requires q < 2^60.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params.bitrev import bitreverse
+from ..params.merge import NTTParameters, ReductionPolynomial
+from . import barrett as bo
+from .limb import U64
+from .pallas_merge import _pow_table
+from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _modmat_phase,
+                         _pow_matrix, _split_u32, balanced_digits, GROUP,
+                         NDIAG, OFF)
+
+A_COL = 128  # column count: one MXU tile of left-matmul reduction
+
+
+@dataclass(frozen=True)
+class MXULargePlan:
+    """Column-phase tables + the row-transform sub-plan."""
+
+    logn: int
+    q: int
+    A: int
+    B: int
+    tile: int  # column tile width T
+    # forward column phase
+    col_fwd: Any        # (ND, A, A) int8
+    col_fwd_corr: Any
+    wt_fwd: Any         # 4x (A, T) u32: W tile table (hi, lo, sh, sl)
+    ws_fwd: Any         # 4x (A, B//T) u32: per-tile scale columns
+    # inverse column phase (A^-1 folded)
+    col_inv: Any
+    col_inv_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+    row_plan: MXUMergePlan  # B-point merge spec; its inverse folds B^-1
+    r40: int
+    r40s: int
+    cadd: int
+    canon_chain: tuple
+
+    @staticmethod
+    def from_params(p: NTTParameters, a_col: int | None = None) -> "MXULargePlan":
+        q = p.modulus.value
+        if q >= 1 << 60:
+            raise ValueError("MXU path requires q < 2^60")
+        n = p.n
+        A = a_col or A_COL  # override only for small-size tests
+        B = n // A
+        logA = A.bit_length() - 1
+        logB = p.logn - logA
+        assert 1 <= logB <= 17, "row transform must fit the in-VMEM kernel"
+        tile = min(B, 1024)
+        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        r, ri = p.root_of_unity, p.inverse_root_of_unity
+        brA = [bitreverse(a, logA) for a in range(A)]
+
+        if xnp:
+            m_base = [pow(r, B * (2 * a + 1), q) for a in brA]
+            w_base = [pow(r, 2 * a + 1, q) for a in brA]
+            mi_base = [pow(ri, B * (2 * a + 1), q) for a in brA]
+            wi_base = [pow(ri, 2 * a + 1, q) for a in brA]
+            row_root, row_iroot = pow(r, 2 * A, q), pow(ri, 2 * A, q)
+        else:
+            m_base = [pow(r, B * a, q) for a in brA]
+            w_base = [pow(r, a, q) for a in brA]
+            mi_base = [pow(ri, B * a, q) for a in brA]
+            wi_base = [pow(ri, a, q) for a in brA]
+            row_root, row_iroot = pow(r, A, q), pow(ri, A, q)
+
+        mcol = _pow_matrix(np.array(m_base, dtype=object), q, A)
+        ginv_colT = _pow_matrix(np.array(mi_base, dtype=object), q, A)
+        a_inv = pow(A, q - 2, q)
+        ginv_col = (ginv_colT.T.astype(object) * a_inv) % q
+
+        def wsplit(bases):
+            """W[a, jT+t] = bases[a]^(jT) * bases[a]^t: tile + scales.
+
+            Scales come out as (B//T, A, 1) so the per-tile block can be
+            (1, A, 1) — Pallas requires the last block dim to equal the
+            array dim when it is not lane-aligned."""
+            wt = _pow_matrix(np.array(bases, dtype=object), q, tile)
+            step = [pow(int(b), tile, q) for b in bases]
+            ws = _pow_matrix(np.array(step, dtype=object), q, B // tile)
+            return wt, np.ascontiguousarray(ws.T)[:, :, None]
+
+        wt_f, ws_f = wsplit(w_base)
+        wt_i, ws_i = wsplit(wi_base)
+
+        def dig(m):
+            return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)))
+
+        def pack(wm):
+            wm = wm.astype(np.uint64)
+            wsh = bo.shoup_companion(wm, q, 64)
+            return (*_split_u32(wm), *_split_u32(wsh))
+
+        col_fwd = dig(mcol)
+        col_inv = dig(ginv_col)
+
+        row_plan = MXUMergePlan.from_spec(
+            q, logB, row_root, row_iroot, xnp=False,
+            n_inv=pow(B, q - 2, q))
+
+        r40 = (1 << 40) % q
+        offtot = 0
+        for d in range(NDIAG):
+            g, k = divmod(d, GROUP)
+            offtot += (OFF << (8 * k)) << (40 * g)
+        cadd = (-offtot) % q
+        gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
+        smax = 4 * q + gmax
+        m = 1
+        while m * q <= smax:
+            m *= 2
+        chain = []
+        while m >= 1:
+            chain.append(m)
+            m //= 2
+
+        return MXULargePlan(
+            logn=p.logn, q=q, A=A, B=B, tile=tile,
+            col_fwd=col_fwd, col_fwd_corr=_corr_left(col_fwd),
+            wt_fwd=pack(wt_f), ws_fwd=pack(ws_f),
+            col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
+            wt_inv=pack(wt_i), ws_inv=pack(ws_i),
+            row_plan=row_plan,
+            r40=r40, r40s=(r40 << 64) // q, cadd=cadd,
+            canon_chain=tuple(chain),
+        )
+
+
+def mxu_large_plan(params: NTTParameters) -> MXULargePlan:
+    from .pallas_mxu import plan_to_device
+
+    plan = getattr(params, "_mxu_large_plan_cache", None)
+    if plan is None:
+        plan = plan_to_device(MXULargePlan.from_params(params))
+        params._mxu_large_plan_cache = plan
+    return plan
+
+
+def _w_tiled_mul(y: U64, wt, ws, consts) -> U64:
+    """Two lazy Shoup products: by the W tile table, then by the
+    per-tile scale column (broadcast along lanes)."""
+    qc = bo.u64_const(consts["q"])
+    wth, wtl, wtsh, wtsl = wt
+    wsh_, wsl_, wssh, wssl = ws
+    y = bo.shoup_mul64_lazy(y, U64(wth[...], wtl[...]),
+                            U64(wtsh[...], wtsl[...]), qc)
+    return bo.shoup_mul64_lazy(y, U64(wsh_[0], wsl_[0]),
+                               U64(wssh[0], wssl[0]), qc)
+
+
+def _colfwd_kernel(md, mc, wth, wtl, wtsh, wtsl, wsh_, wsl_, wssh, wssl,
+                   xh, xl, oh, ol, *, consts):
+    x = U64(xh[0], xl[0])                                 # (A, T)
+    y = _modmat_phase(x, md, mc, True, consts)            # Mcol @ X, lazy
+    y = _w_tiled_mul(y, (wth, wtl, wtsh, wtsl),
+                     (wsh_, wsl_, wssh, wssl), consts)    # o W, < 3q
+    oh[0] = y.hi
+    ol[0] = y.lo
+
+
+def _colinv_kernel(md, mc, wth, wtl, wtsh, wtsl, wsh_, wsl_, wssh, wssl,
+                   xh, xl, oh, ol, *, consts):
+    x = U64(xh[0], xl[0])
+    y = _w_tiled_mul(x, (wth, wtl, wtsh, wtsl),
+                     (wsh_, wsl_, wssh, wssl), consts)    # o W^-1, < 3q
+    z = _modmat_phase(y, md, mc, True, consts)            # (A^-1 Ginv) @
+    z = _canon(z, consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
+              interpret: bool) -> U64:
+    batch, n = x.hi.shape
+    A, B, T = plan.A, plan.B, plan.tile
+    consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
+                  chain=plan.canon_chain)
+    if inverse:
+        kernel, md, mc = _colinv_kernel, plan.col_inv, plan.col_inv_corr
+        wt, ws = plan.wt_inv, plan.ws_inv
+    else:
+        kernel, md, mc = _colfwd_kernel, plan.col_fwd, plan.col_fwd_corr
+        wt, ws = plan.wt_fwd, plan.ws_fwd
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    wt_specs = [fullspec(t) for t in wt]
+    ws_specs = [pl.BlockSpec((1, A, 1), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws]
+    blk = pl.BlockSpec((1, A, T), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+
+    oh, ol = pl.pallas_call(
+        functools.partial(kernel, consts=consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid=(batch, B // T),
+        in_specs=[fullspec(md), fullspec(mc), *wt_specs, *ws_specs, blk, blk],
+        out_specs=(blk, blk),
+        interpret=interpret,
+    )(md, mc, *wt, *ws, x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+    return U64(oh, ol)
+
+
+def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
+                         interpret: bool = False) -> U64:
+    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-24."""
+    from .pallas_mxu import pallas_mxu_u64
+
+    batch, n = x.hi.shape
+    A, B = plan.A, plan.B
+    if inverse:
+        # rows first (merge_B inverse, B^-1 folded), then W^-1 + columns
+        rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
+        y = pallas_mxu_u64(rows, plan.row_plan, inverse=True,
+                           interpret=interpret)
+        y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+        z = _col_call(y, plan, inverse=True, interpret=interpret)
+        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+    y = _col_call(x, plan, inverse=False, interpret=interpret)
+    rows = U64(y.hi.reshape(batch * A, B), y.lo.reshape(batch * A, B))
+    z = pallas_mxu_u64(rows, plan.row_plan, interpret=interpret)
+    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))

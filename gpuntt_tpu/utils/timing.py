@@ -1,0 +1,53 @@
+"""Measurement utilities shared by bench.py and benchmarks/sweep.py.
+
+The reference times GPU kernels with nvbench's stream-scoped exec
+(bench_merge_ntt.cu:45-47), excluding launch overhead.  The TPU analog
+is *marginal in-jit application time*: a jitted chain of k applications
+is timed at two depths and the slope reported, which cancels dispatch
+and transfer costs (on relayed devices those can exceed kernel time,
+and block_until_ready has been observed under-synchronising).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def fetch_one(out):
+    """Force a tiny device->host read — a real completion barrier."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
+def time_chain(fn, x, k, iters=6, repeats=3):
+    """Best-of-repeats wall time of one jitted call applying fn k times."""
+    import jax
+
+    def g(v):
+        for _ in range(k):
+            v = fn(v)
+        return v
+
+    gj = jax.jit(g)
+    o = gj(x)
+    fetch_one(o)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        o = x
+        for _ in range(iters):
+            o = gj(o)
+        fetch_one(o)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6):
+    """Marginal per-application time: slope between k_lo and k_hi chains."""
+    t_lo = time_chain(fn, x, k_lo, iters)
+    t_hi = time_chain(fn, x, k_hi, iters)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
