@@ -50,12 +50,17 @@ class PolynomialMultiplier:
         self.mu = params.modulus.mu
 
     def step_lanes(self, a, b):
-        """Jittable lane-representation pipeline."""
+        """Jittable lane-representation pipeline.
+
+        Transforms go through the dispatch layer, so on TPU the MXU
+        digit-matmul kernels carry the NTTs."""
+        from ..ops.dispatch import intt_lanes, ntt_lanes
+
         plan = self.plan
-        fa = merge_ntt_lanes(a, plan)
-        fb = merge_ntt_lanes(b, plan)
+        fa = ntt_lanes(a, plan)
+        fb = ntt_lanes(b, plan)
         fc = pointwise_mult_lanes(fa, fb, plan.q, self.bit, self.mu, plan.is64)
-        return merge_intt_lanes(fc, plan)
+        return intt_lanes(fc, plan)
 
     def __call__(self, a, b) -> np.ndarray:
         lanes_a = to_lanes(np.asarray(a), self.plan.is64)

@@ -174,6 +174,47 @@ def u64_lt_strict(a: U64, b: U64):
     return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
 
 
+# ------------------------------------------ forced / wide reductions
+
+def reduce_forced32(x, q: int, bit: int, mu: int):
+    """x mod q for any uint32 x (modular_arith.cuh:407-418).
+
+    The reference loops Barrett passes; for word-sized inputs one pass
+    plus the conditional subtract is already canonical (z < 2^32 <
+    2^(2 bit+1) for every 3..30-bit pool modulus)."""
+    return barrett_reduce32(x, q, bit, mu)
+
+
+def reduce_forced64(x: U64, q: int, bit: int, mu: int) -> U64:
+    """x mod q for any u64 pair (modular_arith.cuh:407-418)."""
+    return barrett_reduce64(x, q, bit, mu)
+
+
+def barrett_reduce_wide32(z: U64, q: int, bit: int, mu: int):
+    """Two-limb reduce: 64-bit z mod 32-bit-class q
+    (modular_arith.cuh:420-436, the T1* overload).  Valid for z < q^2,
+    the domain of every product of canonical residues."""
+    w = u64_shr(z, bit - 2).lo
+    t = mul32x32_64(w, jnp.uint32(mu))
+    w2 = u64_shr(t, bit + 3).lo
+    r = u64_sub(z, mul32x32_64(w2, jnp.uint32(q)))
+    res = r.lo
+    return jnp.where(res >= q, res - q, res)
+
+
+def barrett_reduce_wide64(z: U128, q: int, bit: int, mu: int) -> U64:
+    """Four-limb reduce: 128-bit z mod 62-bit-class q
+    (modular_arith.cuh:438-451).  Valid for z < q^2."""
+    qc = u64_const(q)
+    w = u128_shr_lo64(z, bit - 2)
+    t = mul64x64_128(w, u64_const(mu))
+    w2 = u128_shr_lo64(t, bit + 3)
+    r = mul64x64_lo(w2, qc)
+    res = u64_sub(z.lo64, r)
+    resq = u64_sub(res, qc)
+    return u64_select(u64_gte(res, qc), resq, res)
+
+
 # ----------------------------------------------- lazy (Harvey) variants
 #
 # For transform-internal stages values may live in [0, 4q) (u32: q<2^30,

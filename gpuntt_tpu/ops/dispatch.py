@@ -71,8 +71,13 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
     if plan.params is None:
         return None
     if plan.is64:
-        if 12 <= plan.logn <= 17 and plan.q < (1 << 60):
-            return "mxu"
+        if plan.q < (1 << 60):
+            if 12 <= plan.logn <= 17:
+                return "mxu"
+            # 2^24 exceeds what the compiler handles as one composed
+            # col+row program; it stays on the XLA engine
+            if 18 <= plan.logn <= 23:
+                return "mxu-large"
         return None
     n = x_shape[-1]
     if n < 256 or n % 128:
@@ -123,7 +128,23 @@ def ntt_lanes(
     if use_pallas == "mxu":
         from .pallas_mxu import mxu_plan, pallas_mxu_u64
 
-        return pallas_mxu_u64(x, mxu_plan(plan.params))
+        try:
+            mp = mxu_plan(plan.params)
+        except ValueError:  # non-root factors: butterfly engines only
+            mp = None
+        if mp is not None:
+            return pallas_mxu_u64(x, mp)
+        use_pallas = None
+    if use_pallas == "mxu-large":
+        from .pallas_mxu_large import mxu_large_plan, pallas_mxu_large_u64
+
+        try:
+            mp = mxu_large_plan(plan.params)
+        except ValueError:
+            mp = None
+        if mp is not None:
+            return pallas_mxu_large_u64(x, mp)
+        use_pallas = None
     if use_pallas:
         kp = plan.kernel_plan()
         if plan.is64:
@@ -151,11 +172,22 @@ def intt_lanes(
         use_pallas = _kernel_path(plan, shape, layout)
     elif use_pallas is True:
         use_pallas = "mxu" if plan.is64 else "vpu"
-    if use_pallas:
+    if use_pallas in ("mxu", "mxu-large"):
+        # non-root factors fall back to the butterfly engines
         if use_pallas == "mxu":
-            from .pallas_mxu import mxu_plan, pallas_mxu_u64
-
-            y = pallas_mxu_u64(x, mxu_plan(plan.params), inverse=True)
+            from .pallas_mxu import mxu_plan as _mkplan
+            from .pallas_mxu import pallas_mxu_u64 as _mxu_fn
+        else:
+            from .pallas_mxu_large import mxu_large_plan as _mkplan
+            from .pallas_mxu_large import pallas_mxu_large_u64 as _mxu_fn
+        try:
+            _mp = _mkplan(plan.params)
+        except ValueError:
+            _mp = None
+        use_pallas = use_pallas if _mp is not None else None
+    if use_pallas:
+        if use_pallas in ("mxu", "mxu-large"):
+            y = _mxu_fn(x, _mp, inverse=True)
         elif plan.is64:
             from .pallas_merge64 import pallas_merge2_u64
 
@@ -225,12 +257,48 @@ def _rns_mod_idx(batch: int, mod_count: int) -> np.ndarray:
     return np.arange(batch, dtype=np.int64) % mod_count
 
 
+def _merge_plan_cached(params):
+    mp = getattr(params, "_merge_plan_cache", None)
+    if mp is None:
+        mp = MergePlan.from_params(params)
+        params._merge_plan_cache = mp
+    return mp
+
+
+def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
+    """Per-modulus MXU transforms for RNS batches on TPU.
+
+    The reference's RNS kernels are the single-modulus kernels with a
+    per-batch table offset (ntt.cu:3135); here each modulus group takes
+    the MXU digit-matmul path with its own plan.  Returns None when
+    ineligible (non-TPU, u32, out-of-range logn, wide moduli)."""
+    import jax as _jax
+
+    if (_jax.default_backend() != "tpu" or not plan.is64
+            or getattr(plan, "members", None) is None
+            or not 12 <= plan.logn <= 23
+            or any(q >= (1 << 60) for q in plan.qs)):
+        return None
+    x = np.asarray(x)
+    out = np.empty_like(x)
+    for m in range(plan.mod_count):
+        sel = np.nonzero(mod_idx == m)[0]
+        if sel.size == 0:
+            continue
+        mp = _merge_plan_cached(plan.members[m])
+        out[sel] = intt(x[sel], mp) if inverse else ntt(x[sel], mp)
+    return out
+
+
 def ntt_rns(x, plan, cfg: NTTConfig | None = None):
     """GPU_NTT RNS overload (ntt.cu:2560-2800)."""
     from .rns import rns_ntt_lanes
 
     x = np.asarray(x)
     mod_idx = _rns_mod_idx(x.shape[0], plan.mod_count)
+    routed = _rns_mxu_route(x, plan, mod_idx, inverse=False)
+    if routed is not None:
+        return routed
     lanes = to_lanes(x, plan.is64)
     out = jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes)
     return from_lanes(out, plan.is64)
@@ -242,6 +310,9 @@ def intt_rns(x, plan, cfg: NTTConfig | None = None):
 
     x = np.asarray(x)
     mod_idx = _rns_mod_idx(x.shape[0], plan.mod_count)
+    routed = _rns_mxu_route(x, plan, mod_idx, inverse=True)
+    if routed is not None:
+        return routed
     lanes = to_lanes(x, plan.is64)
     out = jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes)
     return from_lanes(out, plan.is64)
@@ -255,6 +326,9 @@ def ntt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
     x = np.asarray(x)
     order = np.asarray(order, dtype=np.int64)
     mod_idx = order[np.arange(x.shape[0]) % len(order)]
+    routed = _rns_mxu_route(x, plan, mod_idx, inverse=False)
+    if routed is not None:
+        return routed
     lanes = to_lanes(x, plan.is64)
     out = jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes)
     return from_lanes(out, plan.is64)
@@ -266,6 +340,9 @@ def intt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
     x = np.asarray(x)
     order = np.asarray(order, dtype=np.int64)
     mod_idx = order[np.arange(x.shape[0]) % len(order)]
+    routed = _rns_mxu_route(x, plan, mod_idx, inverse=True)
+    if routed is not None:
+        return routed
     lanes = to_lanes(x, plan.is64)
     out = jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes)
     return from_lanes(out, plan.is64)

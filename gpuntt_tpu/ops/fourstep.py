@@ -33,7 +33,7 @@ from ..params.bitrev import bitrev_permute
 from ..params.fourstep import NTTParameters4Step
 from ..reference.fourstep_cpu import intt_input_indices
 from . import barrett as bo
-from .limb import u64_from_numpy
+from .limb import U64, u64_from_numpy
 from .merge_ntt import ct_stages, gs_stages
 
 
@@ -65,6 +65,7 @@ class FourStepPlan:
     w_inv_sh: Any
     n_inv_rep: Any
     n_inv_shoup: Any
+    params: Any = None  # originating NTTParameters4Step (for MXU routing)
 
     @staticmethod
     def from_params(p: NTTParameters4Step) -> "FourStepPlan":
@@ -108,6 +109,7 @@ class FourStepPlan:
             w_inv_sh=rep(bo.shoup_companion(wi, q, word)),
             n_inv_rep=scal(p.n_inv),
             n_inv_shoup=scal((p.n_inv << word) // q),
+            params=p,
         )
 
     def ops(self):
@@ -138,10 +140,36 @@ def transpose_lanes(x, row: int, col: int):
     return _tmap(lambda a: jnp.swapaxes(a, -1, -2).reshape(lead + (row * col,)), v)
 
 
+def _mxu_route(x, plan: FourStepPlan, inverse: bool):
+    """Route u64 transforms to the MXU 4-step engine on TPU.
+
+    Returns the transformed lanes, or None if ineligible."""
+    import jax as _jax
+
+    if (not plan.is64 or plan.params is None or plan.q >= (1 << 60)
+            or not 14 <= plan.logn <= 23 or _jax.default_backend() != "tpu"):
+        return None
+    from .pallas_mxu_4step import fourstep_mxu_lanes, fourstep_mxu_plan
+
+    try:
+        mplan = fourstep_mxu_plan(plan.params)
+    except ValueError:  # e.g. caller-supplied factors that are not roots
+        return None
+    lead = x.hi.shape[:-1]
+    n = x.hi.shape[-1]
+    batch = int(np.prod(lead)) if lead else 1
+    x2 = U64(x.hi.reshape(batch, n), x.lo.reshape(batch, n))
+    y = fourstep_mxu_lanes(x2, mplan, inverse=inverse)
+    return U64(y.hi.reshape(lead + (n,)), y.lo.reshape(lead + (n,)))
+
+
 def fourstep_ntt_lanes(x, plan: FourStepPlan):
     """GPU_4STEP_NTT(FORWARD) parity: input pre-transposed (n2, n1)
     flattened, output (n1, n2) flattened pre-final-transpose
     (ntt_4step.cu:2303-2533)."""
+    routed = _mxu_route(x, plan, inverse=False)
+    if routed is not None:
+        return routed
     ops = plan.ops()
     lead = jax.tree_util.tree_leaves(x)[0].shape[:-1]
     y = _tmap(lambda a: a.reshape(lead + (plan.n2, plan.n1)), x)
@@ -159,6 +187,10 @@ def fourstep_intt_lanes(x, plan: FourStepPlan, scale: bool = True):
     intt_first_transpose (test_4step_intt.cu:83-88), output (n1, n2)
     flattened pre-final-transpose; n^-1 fused into the last stage
     (FourStepPartialInverseCore, ntt_4step.cu:1875-2015)."""
+    if scale:
+        routed = _mxu_route(x, plan, inverse=True)
+        if routed is not None:
+            return routed
     ops = plan.ops()
     lead = jax.tree_util.tree_leaves(x)[0].shape[:-1]
     y = _tmap(lambda a: a.reshape(lead + (plan.n2, plan.n1)), x)

@@ -160,6 +160,13 @@ class MXUMergePlan:
         if q >= 1 << 60:
             raise ValueError("MXU path requires q < 2^60")
         n = 1 << logn
+        # the factorization is an exponent-arithmetic identity: it needs
+        # root to be a genuine (2)N-th root of unity.  The butterfly
+        # engines run any table (matching the reference's
+        # garbage-in/garbage-out), so invalid factors fall back there.
+        order = 2 * n if xnp else n
+        if pow(root, order, q) != 1 or (root * iroot) % q != 1:
+            raise ValueError("MXU path requires a genuine root of unity")
         logB = min(logn, max((logn + 1) // 2, 7))
         B = 1 << logB
         A = n // B

@@ -1,0 +1,302 @@
+"""MXU 4-step NTT engine — GPU_4STEP_NTT parity on the systolic array.
+
+The reference's 4-step pipeline (ntt_4step.cu:2293-3260) runs
+column-NTT kernels (T1-T4), a W product fused into the row-NTT load,
+and row-NTT kernels.  Here both small transforms ARE matrices, so each
+becomes one digit-matmul phase (machinery from pallas_mxu.py):
+
+  kernel 1: right-mult by M1^T (n1-point column NTT on the (n2, n1)
+            view), in-VMEM transpose, fused W product
+            -> (batch, n1, n2) tiles
+  kernel 2: right-mult by M2^T (n2 <= 512), or — for n2 up to 65536 —
+            the rows delegate to the in-VMEM merge kernel
+            (MXUMergePlan.from_spec with the n2-base root)
+
+W tables factor as row_base_i^(g(j)) with g additively separable over
+(tile, tile-index) bits, so even the inverse W (bitreversed column
+exponents, nttparameters.cu:430-444) needs only a small tile table and
+per-tile scale columns — no (n1, n2) table is ever materialised.
+
+Calling convention matches fourstep_ntt_lanes/fourstep_intt_lanes
+(caller-side transposes, pre-permuted INTT input, n^-1 fused into the
+last factor); outputs are bit-identical.  Requires q < 2^60, u64.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..arith import host
+from ..params.bitrev import bitreverse
+from ..params.fourstep import NTTParameters4Step
+from . import barrett as bo
+from .limb import U64
+from .pallas_mxu import (GROUP, MXUMergePlan, NDIAG, OFF, _canon, _corr_right,
+                         _modmat_phase, _pow_matrix, _split_u32,
+                         balanced_digits)
+
+ROW_MATMUL_MAX = 512  # n2 beyond this delegates rows to the merge kernel
+
+
+def _consts(q: int):
+    r40 = (1 << 40) % q
+    offtot = 0
+    for d in range(NDIAG):
+        g, k = divmod(d, GROUP)
+        offtot += (OFF << (8 * k)) << (40 * g)
+    cadd = (-offtot) % q
+    gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
+    smax = 4 * q + gmax
+    m = 1
+    while m * q <= smax:
+        m *= 2
+    chain = []
+    while m >= 1:
+        chain.append(m)
+        m //= 2
+    return dict(q=q, r40=r40, r40s=(r40 << 64) // q, cadd=cadd,
+                chain=tuple(chain))
+
+
+def _w_factor(row_bases, exps_tile, exps_scale, q):
+    """W[i, j] = row_bases[i]^(exps_tile[t] + exps_scale[jt]) for
+    j = jt*T + t -> tile table (n1, T) and scales (n2//T, n1, 1)."""
+    tile = np.array(
+        [[pow(int(b), int(e), q) for e in exps_tile] for b in row_bases],
+        dtype=np.uint64)
+    scale = np.array(
+        [[pow(int(b), int(e), q) for e in exps_scale] for b in row_bases],
+        dtype=np.uint64)
+    return tile, np.ascontiguousarray(scale.T)[:, :, None]
+
+
+def _pack(wm, q):
+    ws = bo.shoup_companion(wm.astype(np.uint64), q, 64)
+    return (*_split_u32(wm), *_split_u32(ws))
+
+
+@dataclass(frozen=True)
+class FourStepMXUPlan:
+    """Digit tables for the MXU 4-step engine."""
+
+    logn: int
+    q: int
+    n1: int
+    n2: int
+    tile: int
+    # kernel 1 (column NTT + W), forward and inverse
+    m1T: Any
+    m1T_corr: Any
+    wt_fwd: Any
+    ws_fwd: Any
+    g1T: Any
+    g1T_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+    # kernel 2 (row NTT): matmul tables when n2 <= ROW_MATMUL_MAX ...
+    m2T: Any = None
+    m2T_corr: Any = None
+    g2T: Any = None          # n^-1 folded
+    g2T_corr: Any = None
+    # ... otherwise merge sub-plan for the rows
+    row_plan: Any = None
+    consts: Any = None
+
+    @staticmethod
+    def from_params(p: NTTParameters4Step) -> "FourStepMXUPlan":
+        q = p.modulus.value
+        if q >= 1 << 60 or p.dtype != np.uint64:
+            raise ValueError("MXU 4-step requires u64 data and q < 2^60")
+        from ..params.merge import ReductionPolynomial as _RP
+
+        order = (p.n if p.poly_reduction == _RP.X_N_minus else 2 * p.n)
+        if (pow(p.root_of_unity, order, q) != 1
+                or (p.root_of_unity * p.inverse_root_of_unity) % q != 1):
+            raise ValueError("MXU path requires a genuine root of unity")
+        n1, n2 = p.n1, p.n2
+        log1, log2 = n1.bit_length() - 1, n2.bit_length() - 1
+        r1 = host.exp(p.root_of_unity, p.n // n1, p.modulus)
+        r2 = host.exp(p.root_of_unity, p.n // n2, p.modulus)
+        ir1 = host.modinv(r1, p.modulus)
+        ir2 = host.modinv(r2, p.modulus)
+        root, iroot = p.root_of_unity, p.inverse_root_of_unity
+
+        br1 = [bitreverse(i, log1) for i in range(n1)]
+        # column transform: out[c, a'] = sum_a x[c, a] * r1^(br(a')*a)
+        m1 = _pow_matrix(np.array([pow(r1, b, q) for b in br1], dtype=object),
+                         q, n1)                      # [a', a]
+        m1T = np.ascontiguousarray(m1.T)
+        # unscaled inverse: out[c, j] = sum_i x[c, i] * ir1^(br(i)*j)
+        g1T = _pow_matrix(np.array([pow(ir1, b, q) for b in br1],
+                                   dtype=object), q, n1)  # [i, j]
+
+        # W factorization: forward W[i, j] = root^(br(i, log1) * j);
+        # inverse W[i, j] = iroot^(i * br(j, log2))
+        tile = min(n2, 1024)
+        logt = tile.bit_length() - 1
+        nt = n2 // tile
+        fwd_bases = [pow(root, b, q) for b in br1]
+        wt_f, ws_f = _w_factor(fwd_bases,
+                               np.arange(tile), np.arange(nt) * tile, q)
+        inv_bases = [pow(iroot, i, q) for i in range(n1)]
+        # j = jt*tile + t -> br(j, log2) = br(t, logt)*nt + br(jt, log nt)
+        et = np.array([bitreverse(t, logt) * nt for t in range(tile)])
+        es = np.array([bitreverse(jt, max(nt.bit_length() - 1, 0))
+                       for jt in range(nt)])
+        wt_i, ws_i = _w_factor(inv_bases, et, es, q)
+
+        kw: dict = {}
+        if n2 <= ROW_MATMUL_MAX:
+            br2 = [bitreverse(j, log2) for j in range(n2)]
+            m2 = _pow_matrix(np.array([pow(r2, b, q) for b in br2],
+                                      dtype=object), q, n2)
+            m2T = np.ascontiguousarray(m2.T)
+            g2T_raw = _pow_matrix(np.array([pow(ir2, b, q) for b in br2],
+                                           dtype=object), q, n2)
+            g2T = (g2T_raw.astype(object) * int(p.n_inv)) % q
+            d_m2 = balanced_digits(m2T.astype(np.uint64))
+            d_g2 = balanced_digits(g2T.astype(np.uint64))
+            kw = dict(m2T=d_m2, m2T_corr=_corr_right(d_m2),
+                      g2T=d_g2, g2T_corr=_corr_right(d_g2))
+        else:
+            kw = dict(row_plan=MXUMergePlan.from_spec(
+                q, log2, r2, ir2, xnp=False, n_inv=p.n_inv))
+
+        d_m1 = balanced_digits(m1T.astype(np.uint64))
+        d_g1 = balanced_digits(g1T.astype(np.uint64))
+        return FourStepMXUPlan(
+            logn=p.logn, q=q, n1=n1, n2=n2, tile=tile,
+            m1T=d_m1, m1T_corr=_corr_right(d_m1),
+            wt_fwd=_pack(wt_f, q), ws_fwd=_pack(ws_f, q),
+            g1T=d_g1, g1T_corr=_corr_right(d_g1),
+            wt_inv=_pack(wt_i, q), ws_inv=_pack(ws_i, q),
+            consts=_consts(q), **kw,
+        )
+
+
+def fourstep_mxu_plan(params: NTTParameters4Step) -> FourStepMXUPlan:
+    from .pallas_mxu import plan_to_device
+
+    plan = getattr(params, "_mxu_4step_plan_cache", None)
+    if plan is None:
+        plan = plan_to_device(FourStepMXUPlan.from_params(params))
+        params._mxu_4step_plan_cache = plan
+    return plan
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def _w_mul(y: U64, wt, ws, consts) -> U64:
+    qc = bo.u64_const(consts["q"])
+    y = bo.shoup_mul64_lazy(y, U64(wt[0][...], wt[1][...]),
+                            U64(wt[2][...], wt[3][...]), qc)
+    return bo.shoup_mul64_lazy(y, U64(ws[0][0], ws[1][0]),
+                               U64(ws[2][0], ws[3][0]), qc)
+
+
+def _col_kernel(md, mc, wth, wtl, wtsh, wtsl, wsh_, wsl_, wssh, wssl,
+                xh, xl, oh, ol, *, consts):
+    x = U64(xh[0], xl[0])                                  # (T2, n1)
+    y = _modmat_phase(x, md, mc, False, consts)            # X @ M1T, lazy
+    y = U64(jnp.swapaxes(y.hi, 0, 1), jnp.swapaxes(y.lo, 0, 1))  # (n1, T2)
+    y = _w_mul(y, (wth, wtl, wtsh, wtsl), (wsh_, wsl_, wssh, wssl), consts)
+    oh[0] = y.hi
+    ol[0] = y.lo
+
+
+def _row_kernel(md, mc, xh, xl, oh, ol, *, consts):
+    x = U64(xh[0], xl[0])                                  # (T1, n2)
+    z = _canon(_modmat_phase(x, md, mc, False, consts), consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _run_col(x: U64, plan: FourStepMXUPlan, inverse: bool,
+             interpret: bool) -> U64:
+    """(batch, n2, n1) pair -> (batch, n1, n2) pair (lazy residues)."""
+    batch = x.hi.shape[0]
+    n1, n2, T = plan.n1, plan.n2, plan.tile
+    if inverse:
+        md, mc, wt, ws = plan.g1T, plan.g1T_corr, plan.wt_inv, plan.ws_inv
+    else:
+        md, mc, wt, ws = plan.m1T, plan.m1T_corr, plan.wt_fwd, plan.ws_fwd
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_blk = pl.BlockSpec((1, T, n1), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, n1, T), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    ws_specs = [pl.BlockSpec((1, n1, 1), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws]
+
+    oh, ol = pl.pallas_call(
+        functools.partial(_col_kernel, consts=plan.consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)),
+        grid=(batch, n2 // T),
+        in_specs=[fullspec(md), fullspec(mc),
+                  *[fullspec(t) for t in wt], *ws_specs, in_blk, in_blk],
+        out_specs=(out_blk, out_blk),
+        interpret=interpret,
+    )(md, mc, *wt, *ws, x.hi, x.lo)
+    return U64(oh, ol)
+
+
+def _run_row_matmul(x: U64, plan: FourStepMXUPlan, inverse: bool,
+                    interpret: bool) -> U64:
+    batch = x.hi.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    md, mc = (plan.g2T, plan.g2T_corr) if inverse else (plan.m2T, plan.m2T_corr)
+    T1 = min(n1, max(8, (1 << 20) // (n2 * 4)))
+    while n1 % T1:
+        T1 -= 1
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    blk = pl.BlockSpec((1, T1, n2), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    oh, ol = pl.pallas_call(
+        functools.partial(_row_kernel, consts=plan.consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)),
+        grid=(batch, n1 // T1),
+        in_specs=[fullspec(md), fullspec(mc), blk, blk],
+        out_specs=(blk, blk),
+        interpret=interpret,
+    )(md, mc, x.hi, x.lo)
+    return U64(oh, ol)
+
+
+def fourstep_mxu_lanes(x: U64, plan: FourStepMXUPlan, inverse: bool = False,
+                       interpret: bool = False) -> U64:
+    """GPU_4STEP_NTT-convention transform on (batch, N) u64 pairs.
+
+    Forward: input pre-transposed (n2, n1) flat, output (n1, n2) flat.
+    Inverse: input pre-permuted by intt_first_transpose, n^-1 fused."""
+    from .pallas_mxu import pallas_mxu_u64
+
+    batch, n = x.hi.shape
+    n1, n2 = plan.n1, plan.n2
+    xv = U64(x.hi.reshape(batch, n2, n1), x.lo.reshape(batch, n2, n1))
+    y = _run_col(xv, plan, inverse, interpret)            # (batch, n1, n2)
+    if plan.row_plan is None:
+        z = _run_row_matmul(y, plan, inverse, interpret)
+        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+    rows = U64(y.hi.reshape(batch * n1, n2), y.lo.reshape(batch * n1, n2))
+    z = pallas_mxu_u64(rows, plan.row_plan, inverse=inverse,
+                       interpret=interpret)
+    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))

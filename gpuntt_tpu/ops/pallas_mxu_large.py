@@ -78,7 +78,14 @@ class MXULargePlan:
         if q >= 1 << 60:
             raise ValueError("MXU path requires q < 2^60")
         n = p.n
-        A = a_col or A_COL  # override only for small-size tests
+        xnp_chk = p.poly_reduction == ReductionPolynomial.X_N_plus
+        order = 2 * n if xnp_chk else n
+        if (pow(p.root_of_unity, order, q) != 1
+                or (p.root_of_unity * p.inverse_root_of_unity) % q != 1):
+            raise ValueError("MXU path requires a genuine root of unity")
+        # A = 128 columns except when the rows would exceed 2^16 (the
+        # composed col+row program at B = 2^17 overwhelms the compiler)
+        A = a_col or max(A_COL, n >> 16)
         B = n // A
         logA = A.bit_length() - 1
         logB = p.logn - logA

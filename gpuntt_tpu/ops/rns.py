@@ -54,6 +54,7 @@ class RNSMergePlan:
     inv_shoup: Any
     n_inv_rep: Any  # (mod_count,)
     n_inv_shoup: Any
+    members: Any = None  # originating per-modulus NTTParameters
 
     @staticmethod
     def from_params(params: Sequence[NTTParameters]) -> "RNSMergePlan":
@@ -97,6 +98,7 @@ class RNSMergePlan:
             inv_shoup=rep(inv_sh),
             n_inv_rep=rep(ninv),
             n_inv_shoup=rep(ninv_sh),
+            members=tuple(params),
         )
 
     def ops(self):

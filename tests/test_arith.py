@@ -65,3 +65,37 @@ def test_signed_and_centered():
     half = m.value >> 1
     assert OPERATOR.centered_reduction(half, m) == half  # input > half only
     assert OPERATOR.centered_reduction(half + 1, m) == half + 1 - m.value
+
+
+def test_wide_and_forced_reductions():
+    """reduce_forced + two-limb Barrett reduce (modular_arith.cuh:407-451)
+    against Python ints on the vector path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpuntt_tpu.arith.modulus import Modulus32, Modulus64
+    from gpuntt_tpu.ops import barrett as bo
+    from gpuntt_tpu.ops.limb import U128, U64, u64_to_numpy
+
+    rnd = random.Random(2)
+
+    m32 = Modulus32(469762049)
+    xs = np.array([rnd.randrange(1 << 32) for _ in range(512)], dtype=np.uint32)
+    got = np.asarray(bo.reduce_forced32(jnp.asarray(xs), m32.value, m32.bit, m32.mu))
+    np.testing.assert_array_equal(got, xs.astype(np.uint64) % m32.value)
+
+    zs = np.array([rnd.randrange(m32.value ** 2) for _ in range(512)], dtype=np.uint64)
+    z = U64(jnp.asarray((zs >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((zs & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    got = np.asarray(bo.barrett_reduce_wide32(z, m32.value, m32.bit, m32.mu))
+    np.testing.assert_array_equal(got, zs % m32.value)
+
+    m64 = Modulus64(576460756061519873)
+    q = m64.value
+    zs128 = [rnd.randrange(q * q) for _ in range(256)]
+    limbs = np.array([[(v >> s) & 0xFFFFFFFF for s in (96, 64, 32, 0)]
+                      for v in zs128], dtype=np.uint64).astype(np.uint32)
+    z128 = U128(*(jnp.asarray(limbs[:, i]) for i in range(4)))
+    got = u64_to_numpy(bo.barrett_reduce_wide64(z128, q, m64.bit, m64.mu))
+    exp = np.array([v % q for v in zs128], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
