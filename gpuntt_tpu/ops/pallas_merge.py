@@ -310,7 +310,7 @@ def pallas_merge_u32(x, plan: KernelMergePlan, inverse: bool = False,
         ninv = np.array([[plan.n_inv]], dtype=np.uint64)
         extra = [_u32(ninv), _u32(_shoup(ninv, q, 32))]
 
-    table_specs = [pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+    table_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
                    for _ in range(len(tabs) + len(extra))]
 
     out = pl.pallas_call(
