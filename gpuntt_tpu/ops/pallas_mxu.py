@@ -60,16 +60,17 @@ GROUP = 5              # diagonals per u64 group (radix 2^40 groups)
 # ------------------------------------------------------------- host tables
 
 
-def balanced_digits(t: np.ndarray) -> np.ndarray:
-    """uint64 (..,) -> (ND, ..) int8 balanced radix-256 digits, exact.
+def balanced_digits(t: np.ndarray, nd: int = ND) -> np.ndarray:
+    """uint64 (..,) -> (nd, ..) int8 balanced radix-256 digits, exact.
 
     d_i in [-128, 127], t = sum d_i 256^i.  Vectorized byte walk with
-    carry; valid for t < 2^63 (top byte stays below 127 after carry).
+    carry; valid for t < 2^(8*nd - 1) (top byte stays below 127 after
+    carry).
     """
     t = np.asarray(t, dtype=np.uint64)
-    out = np.empty((ND,) + t.shape, dtype=np.int8)
+    out = np.empty((nd,) + t.shape, dtype=np.int8)
     carry = np.zeros(t.shape, dtype=np.int64)
-    for i in range(ND):
+    for i in range(nd):
         b = ((t >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int64) + carry
         carry = (b > 127).astype(np.int64)
         out[i] = (b - 256 * carry).astype(np.int8)
@@ -84,11 +85,12 @@ def _pow_matrix(bases: np.ndarray, q: int, length: int) -> np.ndarray:
 
 def _corr_left(tdig: np.ndarray) -> np.ndarray:
     """Phase with host matrix on the LEFT: dot(T_i, (x-128)_j) misses
-    128 * rowsum(T_i), constant along columns -> (NDIAG, A, 1) int32."""
-    rows = tdig.astype(np.int64).sum(axis=2)  # (ND, A)
-    corr = np.zeros((NDIAG, tdig.shape[1], 1), dtype=np.int64)
-    for i in range(ND):
-        for j in range(ND):
+    128 * rowsum(T_i), constant along columns -> (ndiag, A, 1) int32."""
+    nd = tdig.shape[0]
+    rows = tdig.astype(np.int64).sum(axis=2)  # (nd, A)
+    corr = np.zeros((2 * nd - 1, tdig.shape[1], 1), dtype=np.int64)
+    for i in range(nd):
+        for j in range(nd):
             corr[i + j, :, 0] += 128 * rows[i]
     assert np.abs(corr).max() < OFF
     return corr.astype(np.int32)
@@ -96,11 +98,12 @@ def _corr_left(tdig: np.ndarray) -> np.ndarray:
 
 def _corr_right(tdig: np.ndarray) -> np.ndarray:
     """Host matrix on the RIGHT: dot((y-128)_j, T_i) misses
-    128 * colsum(T_i), constant along rows -> (NDIAG, 1, B') int32."""
-    cols = tdig.astype(np.int64).sum(axis=1)  # (ND, B')
-    corr = np.zeros((NDIAG, 1, tdig.shape[2]), dtype=np.int64)
-    for i in range(ND):
-        for j in range(ND):
+    128 * colsum(T_i), constant along rows -> (ndiag, 1, B') int32."""
+    nd = tdig.shape[0]
+    cols = tdig.astype(np.int64).sum(axis=1)  # (nd, B')
+    corr = np.zeros((2 * nd - 1, 1, tdig.shape[2]), dtype=np.int64)
+    for i in range(nd):
+        for j in range(nd):
             corr[i + j, 0, :] += 128 * cols[i]
     assert np.abs(corr).max() < OFF
     return corr.astype(np.int32)
@@ -300,11 +303,12 @@ def mxu_plan(params: NTTParameters) -> MXUMergePlan:
 # ---------------------------------------------------------------- kernel
 
 
-def _offset_digits(x: U64):
-    """u64 (hi, lo) pair -> 8 int8 planes of (byte - 128)."""
+def _offset_digits(x, nd: int = ND):
+    """u64 pair (or bare uint32 array, nd <= 4) -> nd int8 planes of
+    (byte - 128)."""
     digs = []
-    for d in range(ND):
-        src = x.lo if d < 4 else x.hi
+    for d in range(nd):
+        src = x if not isinstance(x, U64) else (x.lo if d < 4 else x.hi)
         s = 8 * (d % 4)
         byte = (src >> s) & jnp.uint32(0xFF)
         digs.append((byte.astype(jnp.int32) - 128).astype(jnp.int8))
@@ -316,12 +320,17 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
 
     left=True:  out = T @ X      (contract A; T (ND, A', A), X (A, B))
     left=False: out = X @ T      (contract B; T (ND, B, B'), X (A, B))
-    Input may be any u64 value (digits represent it exactly); output is
-    a lazy residue < 4q + 2^61.2 that the caller reduces or feeds on.
+    Input may be any u64 pair — or a bare uint32 array when the host
+    matrix has <= 4 digits (digits represent it exactly either way);
+    output is a lazy residue < 4q + 2^61.2 that the caller reduces or
+    feeds on.
     """
-    digs = _offset_digits(x)
-    out_shape = ((t_ref.shape[1], x.hi.shape[1]) if left
-                 else (x.hi.shape[0], t_ref.shape[2]))
+    nd = t_ref.shape[0]
+    ndiag = 2 * nd - 1
+    xa = x.hi if isinstance(x, U64) else x
+    digs = _offset_digits(x, nd)
+    out_shape = ((t_ref.shape[1], xa.shape[1]) if left
+                 else (xa.shape[0], t_ref.shape[2]))
 
     qc = bo.u64_const(consts["q"])
     r40c = bo.u64_const(consts["r40"])
@@ -329,10 +338,10 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
 
     groups = []
     g = None
-    for d in range(NDIAG):
+    for d in range(ndiag):
         acc = jnp.broadcast_to(corr_ref[d], out_shape)
-        lo_i = max(0, d - (ND - 1))
-        for i in range(lo_i, min(d, ND - 1) + 1):
+        lo_i = max(0, d - (nd - 1))
+        for i in range(lo_i, min(d, nd - 1) + 1):
             j = d - i
             if left:
                 prod = jax.lax.dot_general(
@@ -347,7 +356,7 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
         k = d % GROUP
         piece = u64_shl(U64(jnp.zeros_like(a), a), 8 * k)
         g = piece if k == 0 else u64_add(g, piece)
-        if k == GROUP - 1 or d == NDIAG - 1:
+        if k == GROUP - 1 or d == ndiag - 1:
             groups.append(g)
             g = None
 

@@ -79,3 +79,23 @@ def test_mxu_plan_rejects_wide_modulus():
 
     with pytest.raises(ValueError):
         MXUMergePlan.from_params(FakeParams())
+
+
+@pytest.mark.parametrize(
+    "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
+)
+def test_mxu_u32_parity(poly, rng):
+    """The 4-digit u32 variant (non-default engine) stays bit-exact."""
+    from gpuntt_tpu.ops.pallas_mxu32 import MXU32Plan, pallas_mxu_u32
+
+    p = NTTParameters(9, poly, dtype=np.uint32)
+    plan = MXU32Plan.from_params(p)
+    gen = NTTCPU(p)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pallas_mxu_u32(x, plan, interpret=True))
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+    back = np.asarray(pallas_mxu_u32(exp.astype(np.uint32), plan,
+                                     inverse=True, interpret=True))
+    np.testing.assert_array_equal(back, x)
