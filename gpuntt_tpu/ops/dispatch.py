@@ -360,9 +360,12 @@ def ntt_poly_ordered(x, plan, order, batch_size: int | None = None,
     b = batch_size if batch_size is not None else len(order)
     sel = order[:b]
     mod_idx = np.arange(b, dtype=np.int64) % plan.mod_count
-    lanes = to_lanes(x[sel], plan.is64)
-    out = from_lanes(jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes),
-                     plan.is64)
+    out = _rns_mxu_route(x[sel], plan, mod_idx, inverse=False)
+    if out is None:
+        lanes = to_lanes(x[sel], plan.is64)
+        out = from_lanes(
+            jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes),
+            plan.is64)
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
@@ -377,9 +380,12 @@ def intt_poly_ordered(x, plan, order, batch_size: int | None = None,
     b = batch_size if batch_size is not None else len(order)
     sel = order[:b]
     mod_idx = np.arange(b, dtype=np.int64) % plan.mod_count
-    lanes = to_lanes(x[sel], plan.is64)
-    out = from_lanes(jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes),
-                     plan.is64)
+    out = _rns_mxu_route(x[sel], plan, mod_idx, inverse=True)
+    if out is None:
+        lanes = to_lanes(x[sel], plan.is64)
+        out = from_lanes(
+            jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes),
+            plan.is64)
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
