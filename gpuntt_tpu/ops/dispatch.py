@@ -82,7 +82,11 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
     n = x_shape[-1]
     if n < 256 or n % 128:
         return None
-    return "vpu" if plan.logn <= 18 else None  # VMEM-resident block
+    if plan.logn <= 18:
+        return "vpu"  # whole block VMEM-resident
+    if plan.logn <= 23 and plan.q < (1 << 30):
+        return "mxu32-large"
+    return None
 
 
 def _signed_view(x):
@@ -145,6 +149,16 @@ def ntt_lanes(
         if mp is not None:
             return pallas_mxu_large_u64(x, mp)
         use_pallas = None
+    if use_pallas == "mxu32-large":
+        from .pallas_mxu32 import mxu32_large_plan, pallas_mxu32_large
+
+        try:
+            mp = mxu32_large_plan(plan.params)
+        except ValueError:
+            mp = None
+        if mp is not None:
+            return pallas_mxu32_large(x, mp)
+        use_pallas = None
     if use_pallas:
         kp = plan.kernel_plan()
         if plan.is64:
@@ -172,21 +186,24 @@ def intt_lanes(
         use_pallas = _kernel_path(plan, shape, layout)
     elif use_pallas is True:
         use_pallas = "mxu" if plan.is64 else "vpu"
-    if use_pallas in ("mxu", "mxu-large"):
+    if use_pallas in ("mxu", "mxu-large", "mxu32-large"):
         # non-root factors fall back to the butterfly engines
         if use_pallas == "mxu":
             from .pallas_mxu import mxu_plan as _mkplan
             from .pallas_mxu import pallas_mxu_u64 as _mxu_fn
-        else:
+        elif use_pallas == "mxu-large":
             from .pallas_mxu_large import mxu_large_plan as _mkplan
             from .pallas_mxu_large import pallas_mxu_large_u64 as _mxu_fn
+        else:
+            from .pallas_mxu32 import mxu32_large_plan as _mkplan
+            from .pallas_mxu32 import pallas_mxu32_large as _mxu_fn
         try:
             _mp = _mkplan(plan.params)
         except ValueError:
             _mp = None
         use_pallas = use_pallas if _mp is not None else None
     if use_pallas:
-        if use_pallas in ("mxu", "mxu-large"):
+        if use_pallas in ("mxu", "mxu-large", "mxu32-large"):
             y = _mxu_fn(x, _mp, inverse=True)
         elif plan.is64:
             from .pallas_merge64 import pallas_merge2_u64

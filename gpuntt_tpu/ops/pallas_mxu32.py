@@ -76,19 +76,24 @@ class MXU32Plan:
 
     @staticmethod
     def from_params(p: NTTParameters) -> "MXU32Plan":
-        q = p.modulus.value
+        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        return MXU32Plan.from_spec(
+            p.modulus.value, p.logn, p.root_of_unity,
+            p.inverse_root_of_unity, xnp, p.n_inv)
+
+    @staticmethod
+    def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
+                  n_inv: int) -> "MXU32Plan":
         if q >= 1 << 30:
             raise ValueError("u32 MXU path requires q < 2^30")
-        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
-        root, iroot = p.root_of_unity, p.inverse_root_of_unity
-        n = p.n
+        n = 1 << logn
         order = 2 * n if xnp else n
         if pow(root, order, q) != 1 or (root * iroot) % q != 1:
             raise ValueError("MXU path requires a genuine root of unity")
-        logB = min(p.logn, max((p.logn + 1) // 2, 7))
+        logB = min(logn, max((logn + 1) // 2, 7))
         B = 1 << logB
         A = n // B
-        logA = p.logn - logB
+        logA = logn - logB
         assert A <= 512 and n <= 1 << 17
         brA = [bitreverse(a, logA) for a in range(A)]
         brB = [bitreverse(b, logB) for b in range(B)]
@@ -114,7 +119,7 @@ class MXU32Plan:
         rrT = np.ascontiguousarray(_pow_matrix(obj(rr_base), q, B).T)
         ginv_rowT = _pow_matrix(obj(rri_base), q, B)
         ginv_col = (_pow_matrix(obj(mi_base), q, A).T.astype(object)
-                    * int(p.n_inv)) % q
+                    * int(n_inv)) % q
         w_i = _pow_matrix(obj(wi_base), q, B)
 
         def dig(m):
@@ -129,7 +134,7 @@ class MXU32Plan:
         d_fl, d_fr = dig(mcol), dig(rrT)
         d_ir, d_il = dig(ginv_rowT), dig(ginv_col)
         return MXU32Plan(
-            logn=p.logn, q=q, A=A, B=B,
+            logn=logn, q=q, A=A, B=B,
             fwd_left=d_fl, fwd_left_corr=_corr_left(d_fl),
             fwd_right=d_fr, fwd_right_corr=_corr_right(d_fr),
             w_fwd=wpack(w_f),
@@ -200,3 +205,177 @@ def pallas_mxu_u32(x, plan: MXU32Plan, inverse: bool = False,
         interpret=interpret,
     )(*tabs, x.reshape(batch, A, B))
     return out.reshape(batch, n)
+
+
+# ------------------------------------------------- large rings (logn 18-23)
+#
+# The XLA butterfly engine collapses past logn 18 (measured 1.6 ms per
+# single 2^20 u32 NTT) and the VPU roll kernel no longer fits VMEM, so
+# large u32 rings recurse the factorization once, exactly like
+# pallas_mxu_large.py: a 4-digit column-matmul kernel (A = 128) with the
+# W product factored into a tile table and per-tile scale columns, then
+# the B-point rows through the in-VMEM u32 kernel.  Here the MXU engine
+# wins big even though it loses at in-VMEM sizes.
+
+A_COL32 = 128
+
+
+@dataclass(frozen=True)
+class MXU32LargePlan:
+    logn: int
+    q: int
+    A: int
+    B: int
+    tile: int
+    col_fwd: Any
+    col_fwd_corr: Any
+    wt_fwd: Any   # 2x (A, T) u32 value/shoup
+    ws_fwd: Any   # 2x (B//T, A, 1)
+    col_inv: Any  # A^-1 folded
+    col_inv_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+    row_plan: MXU32Plan  # B-point spec; inverse folds B^-1
+    consts: Any
+
+    @staticmethod
+    def from_params(p: NTTParameters, a_col: int | None = None) -> "MXU32LargePlan":
+        q = p.modulus.value
+        if q >= 1 << 30:
+            raise ValueError("u32 MXU path requires q < 2^30")
+        n = p.n
+        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        root, iroot = p.root_of_unity, p.inverse_root_of_unity
+        order = 2 * n if xnp else n
+        if pow(root, order, q) != 1 or (root * iroot) % q != 1:
+            raise ValueError("MXU path requires a genuine root of unity")
+        A = a_col or max(A_COL32, n >> 16)
+        B = n // A
+        logA = A.bit_length() - 1
+        logB = p.logn - logA
+        assert 1 <= logB <= 17
+        tile = min(B, 2048)
+        brA = [bitreverse(a, logA) for a in range(A)]
+
+        if xnp:
+            m_base = [pow(root, B * (2 * a + 1), q) for a in brA]
+            w_base = [pow(root, 2 * a + 1, q) for a in brA]
+            mi_base = [pow(iroot, B * (2 * a + 1), q) for a in brA]
+            wi_base = [pow(iroot, 2 * a + 1, q) for a in brA]
+            row_root, row_iroot = pow(root, 2 * A, q), pow(iroot, 2 * A, q)
+        else:
+            m_base = [pow(root, B * a, q) for a in brA]
+            w_base = [pow(root, a, q) for a in brA]
+            mi_base = [pow(iroot, B * a, q) for a in brA]
+            wi_base = [pow(iroot, a, q) for a in brA]
+            row_root, row_iroot = pow(root, A, q), pow(iroot, A, q)
+
+        obj = lambda v: np.array(v, dtype=object)
+        mcol = _pow_matrix(obj(m_base), q, A)
+        a_inv = pow(A, q - 2, q)
+        ginv_col = (_pow_matrix(obj(mi_base), q, A).T.astype(object)
+                    * a_inv) % q
+
+        def wsplit(bases):
+            wt = _pow_matrix(obj(bases), q, tile)
+            step = [pow(int(b), tile, q) for b in bases]
+            ws = _pow_matrix(obj(step), q, B // tile)
+            return wt, np.ascontiguousarray(ws.T)[:, :, None]
+
+        wt_f, ws_f = wsplit(w_base)
+        wt_i, ws_i = wsplit(wi_base)
+
+        def dig(m):
+            return balanced_digits(
+                np.ascontiguousarray(m.astype(np.uint64)), ND32)
+
+        def pack32(wm):
+            wm32 = wm.astype(np.uint32)
+            return (wm32, bo.shoup_companion(wm32, q, 32))
+
+        col_fwd = dig(mcol)
+        col_inv = dig(ginv_col)
+        row_plan = MXU32Plan.from_spec(q, logB, row_root, row_iroot,
+                                       xnp=False, n_inv=pow(B, q - 2, q))
+        return MXU32LargePlan(
+            logn=p.logn, q=q, A=A, B=B, tile=tile,
+            col_fwd=col_fwd, col_fwd_corr=_corr_left(col_fwd),
+            wt_fwd=pack32(wt_f), ws_fwd=pack32(ws_f),
+            col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
+            wt_inv=pack32(wt_i), ws_inv=pack32(ws_i),
+            row_plan=row_plan, consts=_consts32(q),
+        )
+
+
+def mxu32_large_plan(params: NTTParameters) -> "MXU32LargePlan":
+    from .pallas_mxu import plan_to_device
+
+    plan = getattr(params, "_mxu32_large_plan_cache", None)
+    if plan is None:
+        plan = plan_to_device(MXU32LargePlan.from_params(params))
+        params._mxu32_large_plan_cache = plan
+    return plan
+
+
+def _w_tiled_mul32(y, wt, ws, q):
+    """y (< 2^32) times the factored W, two lazy 32-bit Shoup products."""
+    y = bo.shoup_mul32_lazy(y, wt[0][...], wt[1][...], q)
+    return bo.shoup_mul32_lazy(y, ws[0][0], ws[1][0], q)
+
+
+def _colfwd32(md, mc, wtv, wts, wsv, wss, xr, orf, *, consts):
+    q = consts["q"]
+    y = _lazy_to_u32(_modmat_phase(xr[0], md, mc, True, consts), consts)
+    orf[0] = _w_tiled_mul32(y, (wtv, wts), (wsv, wss), q)  # < 2q, lazy
+
+
+def _colinv32(md, mc, wtv, wts, wsv, wss, xr, orf, *, consts):
+    q = consts["q"]
+    y = _w_tiled_mul32(xr[0], (wtv, wts), (wsv, wss), q)
+    z = _lazy_to_u32(_modmat_phase(y, md, mc, True, consts), consts)
+    orf[0] = _canon32(z, q)
+
+
+def _col_call32(x, plan: "MXU32LargePlan", inverse: bool, interpret: bool):
+    batch = x.shape[0]
+    A, B, T = plan.A, plan.B, plan.tile
+    if inverse:
+        kernel, md, mc = _colinv32, plan.col_inv, plan.col_inv_corr
+        wt, ws = plan.wt_inv, plan.ws_inv
+    else:
+        kernel, md, mc = _colfwd32, plan.col_fwd, plan.col_fwd_corr
+        wt, ws = plan.wt_fwd, plan.ws_fwd
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    ws_specs = [pl.BlockSpec((1, A, 1), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws]
+    blk = pl.BlockSpec((1, A, T), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(kernel, consts=plan.consts),
+        out_shape=jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+        grid=(batch, B // T),
+        in_specs=[fullspec(md), fullspec(mc),
+                  *[fullspec(t) for t in wt], *ws_specs, blk],
+        out_specs=blk,
+        interpret=interpret,
+    )(md, mc, *wt, *ws, x.reshape(batch, A, B))
+
+
+def pallas_mxu32_large(x, plan: "MXU32LargePlan", inverse: bool = False,
+                       interpret: bool = False):
+    """Forward/inverse merged NTT on (batch, N) uint32, logn 18-23."""
+    batch, n = x.shape
+    A, B = plan.A, plan.B
+    if inverse:
+        y = pallas_mxu_u32(x.reshape(batch * A, B), plan.row_plan,
+                           inverse=True, interpret=interpret)
+        return _col_call32(y.reshape(batch, n), plan, True,
+                           interpret).reshape(batch, n)
+    y = _col_call32(x, plan, False, interpret)
+    z = pallas_mxu_u32(y.reshape(batch * A, B), plan.row_plan,
+                       interpret=interpret)
+    return z.reshape(batch, n)

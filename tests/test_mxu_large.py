@@ -37,3 +37,23 @@ def test_mxu_large_parity(poly, logn, a_col, rng):
         True,
     )
     np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize(
+    "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
+)
+def test_mxu32_large_parity(poly, rng):
+    """The u32 large-ring composition at a reduced a_col."""
+    from gpuntt_tpu.ops.pallas_mxu32 import MXU32LargePlan, pallas_mxu32_large
+
+    p = NTTParameters(13, poly, dtype=np.uint32)
+    plan = MXU32LargePlan.from_params(p, a_col=4)
+    gen = NTTCPU(p)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pallas_mxu32_large(x, plan, interpret=True))
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+    back = np.asarray(pallas_mxu32_large(exp.astype(np.uint32), plan,
+                                         inverse=True, interpret=True))
+    np.testing.assert_array_equal(back, x)
