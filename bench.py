@@ -51,37 +51,14 @@ def main():
     ntts_per_sec = batch / dt
 
     # --- measured modmul roofline (compute-bound probe) ---
-    # Peak rate of the 64-bit Shoup modmul primitive on the VPU, as a
-    # K-deep fused chain over a large array — the speed-of-light for
-    # any BUTTERFLY-based transform built on vector lanes.  One
-    # butterfly = 1 twiddle modmul; (N/2)*logN butterflies per NTT.
-    # The MXU kernel is allowed to exceed this roofline: that is the
-    # point of moving the products to the systolic array.
-    import jax.numpy as jnp
+    # Peak rate of the 64-bit Shoup modmul primitive on the VPU — the
+    # speed-of-light for any BUTTERFLY-based transform built on vector
+    # lanes (one butterfly = one twiddle modmul; (N/2)*logN butterflies
+    # per NTT).  The MXU kernel is allowed to exceed this roofline:
+    # that is the point of moving the products to the systolic array.
+    from gpuntt_tpu.utils.profiling import measure_vpu_modmul_peak
 
-    from gpuntt_tpu.ops import barrett as bo
-    from gpuntt_tpu.ops.limb import U64
-
-    K = 16
-    q = params.modulus.value
-    w_val = int(rng.integers(1, q))
-    ws_val = (w_val << 64) // q
-    qc = bo.u64_const(q)
-    wc = bo.u64_const(w_val)
-    wsc = bo.u64_const(ws_val)
-    xp = rng.integers(0, q, size=(64, 65536), dtype=np.uint64)
-    xl = U64(
-        jnp.asarray((xp >> np.uint64(32)).astype(np.uint32)),
-        jnp.asarray((xp & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-    )
-
-    def modmul_k(v):
-        for _ in range(K):
-            v = bo.shoup_mul64(v, wc, wsc, qc)
-        return v
-
-    dt_mm = time_marginal(modmul_k, xl, iters=8)
-    modmuls_per_sec = K * xp.size / dt_mm
+    modmuls_per_sec = measure_vpu_modmul_peak(params.modulus.value, is64=True)
 
     butterflies_per_ntt = (params.n // 2) * params.logn
     achieved_modmuls_per_sec = ntts_per_sec * butterflies_per_ntt

@@ -177,17 +177,28 @@ def u64_lt_strict(a: U64, b: U64):
 # ------------------------------------------ forced / wide reductions
 
 def reduce_forced32(x, q: int, bit: int, mu: int):
-    """x mod q for any uint32 x (modular_arith.cuh:407-418).
+    """x mod q for ANY uint32 x and any q >= 2 (modular_arith.cuh:407-418).
 
-    The reference loops Barrett passes; for word-sized inputs one pass
-    plus the conditional subtract is already canonical (z < 2^32 <
-    2^(2 bit+1) for every 3..30-bit pool modulus)."""
-    return barrett_reduce32(x, q, bit, mu)
+    Barrett-by-one with c = floor(2^32 / q): the quotient estimate
+    floor(x*c / 2^32) undershoots floor(x/q) by at most 1, so two
+    conditional subtracts canonicalise — no domain restriction, unlike
+    a bare `bit`-parameterised Barrett pass (which is only valid for
+    x < 2^(2 bit + 1))."""
+    c = (1 << 32) // q
+    hi = mul32x32_64(x, jnp.uint32(c)).hi
+    r = x - mul32x32_lo(hi, jnp.uint32(q))
+    r = jnp.where(r >= 2 * q, r - jnp.uint32(2 * q), r)
+    return jnp.where(r >= q, r - jnp.uint32(q), r)
 
 
 def reduce_forced64(x: U64, q: int, bit: int, mu: int) -> U64:
-    """x mod q for any u64 pair (modular_arith.cuh:407-418)."""
-    return barrett_reduce64(x, q, bit, mu)
+    """x mod q for ANY u64 pair and any q >= 2 (modular_arith.cuh:407-418)."""
+    qc = u64_const(q)
+    c = u64_const((1 << 64) // q)
+    hi = mul64x64_hi(x, c)  # exact: quotient undershoot <= 1
+    r = u64_sub(x, mul64x64_lo(hi, qc))
+    r = u64_select(u64_gte(r, u64_const(2 * q)), u64_sub(r, u64_const(2 * q)), r)
+    return u64_select(u64_gte(r, qc), u64_sub(r, qc), r)
 
 
 def barrett_reduce_wide32(z: U64, q: int, bit: int, mu: int):

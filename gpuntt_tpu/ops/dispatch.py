@@ -89,6 +89,39 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
     return None
 
 
+_MXU_PATHS = ("mxu", "mxu-large", "mxu32-large")
+
+
+def _explicit_path(plan: MergePlan) -> str:
+    """Route for an explicit use_pallas=True request: the best Pallas
+    kernel for the plan's width and size (unlike "auto", no backend
+    check — the caller insisted)."""
+    if plan.is64:
+        return "mxu" if plan.logn <= 17 else "mxu-large"
+    return "vpu" if plan.logn <= 18 else "mxu32-large"
+
+
+def _resolve_mxu(path, plan: MergePlan):
+    """Build the plan for an MXU path, falling back to the XLA engine
+    for non-root caller-supplied factors (the reference's
+    garbage-in/garbage-out tables have no matrix factorization)."""
+    if path not in _MXU_PATHS:
+        return path, None, None
+    if path == "mxu":
+        from .pallas_mxu import mxu_plan as mk
+        from .pallas_mxu import pallas_mxu_u64 as fn
+    elif path == "mxu-large":
+        from .pallas_mxu_large import mxu_large_plan as mk
+        from .pallas_mxu_large import pallas_mxu_large_u64 as fn
+    else:
+        from .pallas_mxu32 import mxu32_large_plan as mk
+        from .pallas_mxu32 import pallas_mxu32_large as fn
+    try:
+        return path, mk(plan.params), fn
+    except ValueError:
+        return None, None, None
+
+
 def _signed_view(x):
     """numpy int32/int64 -> same-width unsigned bit pattern."""
     x = np.asarray(x)
@@ -128,37 +161,10 @@ def ntt_lanes(
     if use_pallas == "auto":
         use_pallas = _kernel_path(plan, shape, layout)
     elif use_pallas is True:
-        use_pallas = "mxu" if plan.is64 else "vpu"
-    if use_pallas == "mxu":
-        from .pallas_mxu import mxu_plan, pallas_mxu_u64
-
-        try:
-            mp = mxu_plan(plan.params)
-        except ValueError:  # non-root factors: butterfly engines only
-            mp = None
-        if mp is not None:
-            return pallas_mxu_u64(x, mp)
-        use_pallas = None
-    if use_pallas == "mxu-large":
-        from .pallas_mxu_large import mxu_large_plan, pallas_mxu_large_u64
-
-        try:
-            mp = mxu_large_plan(plan.params)
-        except ValueError:
-            mp = None
-        if mp is not None:
-            return pallas_mxu_large_u64(x, mp)
-        use_pallas = None
-    if use_pallas == "mxu32-large":
-        from .pallas_mxu32 import mxu32_large_plan, pallas_mxu32_large
-
-        try:
-            mp = mxu32_large_plan(plan.params)
-        except ValueError:
-            mp = None
-        if mp is not None:
-            return pallas_mxu32_large(x, mp)
-        use_pallas = None
+        use_pallas = _explicit_path(plan)
+    use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
+    if use_pallas in _MXU_PATHS:
+        return _mxu_fn(x, _mp)
     if use_pallas:
         kp = plan.kernel_plan()
         if plan.is64:
@@ -185,25 +191,10 @@ def intt_lanes(
     if use_pallas == "auto":
         use_pallas = _kernel_path(plan, shape, layout)
     elif use_pallas is True:
-        use_pallas = "mxu" if plan.is64 else "vpu"
-    if use_pallas in ("mxu", "mxu-large", "mxu32-large"):
-        # non-root factors fall back to the butterfly engines
-        if use_pallas == "mxu":
-            from .pallas_mxu import mxu_plan as _mkplan
-            from .pallas_mxu import pallas_mxu_u64 as _mxu_fn
-        elif use_pallas == "mxu-large":
-            from .pallas_mxu_large import mxu_large_plan as _mkplan
-            from .pallas_mxu_large import pallas_mxu_large_u64 as _mxu_fn
-        else:
-            from .pallas_mxu32 import mxu32_large_plan as _mkplan
-            from .pallas_mxu32 import pallas_mxu32_large as _mxu_fn
-        try:
-            _mp = _mkplan(plan.params)
-        except ValueError:
-            _mp = None
-        use_pallas = use_pallas if _mp is not None else None
+        use_pallas = _explicit_path(plan)
+    use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
     if use_pallas:
-        if use_pallas in ("mxu", "mxu-large", "mxu32-large"):
+        if use_pallas in _MXU_PATHS:
             y = _mxu_fn(x, _mp, inverse=True)
         elif plan.is64:
             from .pallas_merge64 import pallas_merge2_u64
@@ -231,6 +222,22 @@ def intt_lanes(
 # ------------------------------------------------------ numpy convenience
 
 
+def _cached_jit(plan: MergePlan, key, maker):
+    """Jitted-transform cache keyed on the plan's params object, so the
+    numpy convenience wrappers (and the per-modulus RNS routing built on
+    them) don't retrace on every call."""
+    host = plan.params
+    if host is None:
+        return jax.jit(maker())
+    cache = getattr(host, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        host._jit_cache = cache
+    if key not in cache:
+        cache[key] = jax.jit(maker())
+    return cache[key]
+
+
 def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
     """GPU_NTT equivalent over numpy arrays (device round-trip included).
 
@@ -246,10 +253,11 @@ def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
     else:
         xv = x
     lanes = to_lanes(xv, plan.is64)
-    out = jax.jit(
-        lambda v: ntt_lanes(v, plan, layout=layout, signed_input=signed_input)
-    )(lanes)
-    return from_lanes(out, plan.is64)
+    fn = _cached_jit(
+        plan, ("ntt", layout, signed_input),
+        lambda: lambda v: ntt_lanes(v, plan, layout=layout,
+                                    signed_input=signed_input))
+    return from_lanes(fn(lanes), plan.is64)
 
 
 def intt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
@@ -257,10 +265,11 @@ def intt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
     layout = kw.pop("layout", cfg.ntt_layout if cfg else NTTLayout.PerPolynomial)
     signed_output = kw.pop("signed_output", False)
     lanes = to_lanes(np.asarray(x), plan.is64)
-    out = jax.jit(
-        lambda v: intt_lanes(v, plan, layout=layout, signed_output=signed_output)
-    )(lanes)
-    res = from_lanes(out, plan.is64)
+    fn = _cached_jit(
+        plan, ("intt", layout, signed_output),
+        lambda: lambda v: intt_lanes(v, plan, layout=layout,
+                                     signed_output=signed_output))
+    res = from_lanes(fn(lanes), plan.is64)
     if signed_output:
         return res.view(np.int64) if plan.is64 else res.view(np.int32)
     return res

@@ -78,6 +78,44 @@ def balanced_digits(t: np.ndarray, nd: int = ND) -> np.ndarray:
     return out
 
 
+def reduction_consts(q: int, ndiag: int) -> dict:
+    """Shared diagonal-recombination constants for every digit-matmul
+    engine: radix-2^40 Horner multiplier (+ Shoup companion), the
+    constant cancelling the per-diagonal OFF placements, the
+    Barrett-by-one companion, and the final canonicalisation chain."""
+    r40 = (1 << 40) % q
+    offtot = 0
+    for d in range(ndiag):
+        g, k = divmod(d, GROUP)
+        offtot += (OFF << (8 * k)) << (40 * g)
+    gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
+    smax = 4 * q + gmax
+    m = 1
+    while m * q <= smax:
+        m *= 2
+    chain = []
+    while m >= 1:
+        chain.append(m)
+        m //= 2
+    return dict(q=q, r40=r40, r40s=(r40 << 64) // q, cadd=(-offtot) % q,
+                one_s=(1 << 64) // q, chain=tuple(chain))
+
+
+def w_factor(row_bases, exps_tile, exps_scale, q: int):
+    """Factored twiddle table W[i, j] = row_bases[i]^(exps_tile[t] +
+    exps_scale[jt]) for j = jt*T + t -> a (rows, T) tile table plus
+    (n//T, rows, 1) per-tile scale columns.  Shared by the large-ring
+    and 4-step engines (the 4-step inverse W's bitreversed exponents
+    are additively separable over tile bits, so the same split works)."""
+    tile = np.array(
+        [[pow(int(b), int(e), q) for e in exps_tile] for b in row_bases],
+        dtype=np.uint64)
+    scale = np.array(
+        [[pow(int(b), int(e), q) for e in exps_scale] for b in row_bases],
+        dtype=np.uint64)
+    return tile, np.ascontiguousarray(scale.T)[:, :, None]
+
+
 def _pow_matrix(bases: np.ndarray, q: int, length: int) -> np.ndarray:
     """rows[i] = [bases[i]^0, bases[i]^1, ...] mod q, exact."""
     return np.stack([_pow_table(int(b), q, length) for b in bases])
@@ -227,24 +265,7 @@ class MXUMergePlan:
         inv_right = dig(ginv_rowT)
         inv_left = dig(ginv_col)
 
-        r40 = (1 << 40) % q
-        # end-of-combine constant: -(sum of OFF placements) mod q
-        offtot = 0
-        for d in range(NDIAG):
-            g, k = divmod(d, GROUP)
-            offtot += (OFF << (8 * k)) << (40 * g)
-        cadd = (-offtot) % q
-        # canonicalization chain: s < 3q (Horner tail) + 2^61.2 (G0 max)
-        # + q (cadd)
-        gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
-        smax = 4 * q + gmax
-        m = 1
-        while m * q <= smax:
-            m *= 2
-        chain = []
-        while m >= 1:
-            chain.append(m)
-            m //= 2
+        rc = reduction_consts(q, NDIAG)
 
         # tables stay host numpy: they enter each trace as compile-time
         # constants, so a plan built (and cached) inside one jit trace
@@ -261,10 +282,10 @@ class MXUMergePlan:
             inv_left=inv_left,
             inv_left_corr=_corr_left(inv_left),
             w_inv=wpack(w_i),
-            r40=r40,
-            r40s=(r40 << 64) // q,
-            cadd=cadd,
-            canon_chain=tuple(chain),
+            r40=rc["r40"],
+            r40s=rc["r40s"],
+            cadd=rc["cadd"],
+            canon_chain=rc["chain"],
         )
 
 

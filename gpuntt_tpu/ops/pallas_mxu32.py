@@ -31,21 +31,16 @@ from ..params.bitrev import bitreverse
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
 from .limb import U64
-from .pallas_mxu import (GROUP, OFF, _corr_left, _corr_right, _modmat_phase,
-                         _pow_matrix, balanced_digits)
+from .pallas_mxu import (_corr_left, _corr_right, _modmat_phase,
+                         _pow_matrix, balanced_digits, reduction_consts,
+                         w_factor)
 
 ND32 = 4
 NDIAG32 = 2 * ND32 - 1  # 7
 
 
 def _consts32(q: int):
-    r40 = (1 << 40) % q
-    offtot = 0
-    for d in range(NDIAG32):
-        g, k = divmod(d, GROUP)
-        offtot += (OFF << (8 * k)) << (40 * g)
-    return dict(q=q, r40=r40, r40s=(r40 << 64) // q, cadd=(-offtot) % q,
-                one_s=(1 << 64) // q, chain=())
+    return reduction_consts(q, NDIAG32)
 
 
 def _lazy_to_u32(s: U64, consts):
@@ -276,14 +271,10 @@ class MXU32LargePlan:
         ginv_col = (_pow_matrix(obj(mi_base), q, A).T.astype(object)
                     * a_inv) % q
 
-        def wsplit(bases):
-            wt = _pow_matrix(obj(bases), q, tile)
-            step = [pow(int(b), tile, q) for b in bases]
-            ws = _pow_matrix(obj(step), q, B // tile)
-            return wt, np.ascontiguousarray(ws.T)[:, :, None]
-
-        wt_f, ws_f = wsplit(w_base)
-        wt_i, ws_i = wsplit(wi_base)
+        wt_f, ws_f = w_factor(w_base, np.arange(tile),
+                              np.arange(B // tile) * tile, q)
+        wt_i, ws_i = w_factor(wi_base, np.arange(tile),
+                              np.arange(B // tile) * tile, q)
 
         def dig(m):
             return balanced_digits(

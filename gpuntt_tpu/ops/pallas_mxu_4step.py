@@ -39,43 +39,15 @@ from ..params.bitrev import bitreverse
 from ..params.fourstep import NTTParameters4Step
 from . import barrett as bo
 from .limb import U64
-from .pallas_mxu import (GROUP, MXUMergePlan, NDIAG, OFF, _canon, _corr_right,
+from .pallas_mxu import (MXUMergePlan, NDIAG, _canon, _corr_right,
                          _modmat_phase, _pow_matrix, _split_u32,
-                         balanced_digits)
+                         balanced_digits, reduction_consts, w_factor)
 
 ROW_MATMUL_MAX = 512  # n2 beyond this delegates rows to the merge kernel
 
 
 def _consts(q: int):
-    r40 = (1 << 40) % q
-    offtot = 0
-    for d in range(NDIAG):
-        g, k = divmod(d, GROUP)
-        offtot += (OFF << (8 * k)) << (40 * g)
-    cadd = (-offtot) % q
-    gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
-    smax = 4 * q + gmax
-    m = 1
-    while m * q <= smax:
-        m *= 2
-    chain = []
-    while m >= 1:
-        chain.append(m)
-        m //= 2
-    return dict(q=q, r40=r40, r40s=(r40 << 64) // q, cadd=cadd,
-                chain=tuple(chain))
-
-
-def _w_factor(row_bases, exps_tile, exps_scale, q):
-    """W[i, j] = row_bases[i]^(exps_tile[t] + exps_scale[jt]) for
-    j = jt*T + t -> tile table (n1, T) and scales (n2//T, n1, 1)."""
-    tile = np.array(
-        [[pow(int(b), int(e), q) for e in exps_tile] for b in row_bases],
-        dtype=np.uint64)
-    scale = np.array(
-        [[pow(int(b), int(e), q) for e in exps_scale] for b in row_bases],
-        dtype=np.uint64)
-    return tile, np.ascontiguousarray(scale.T)[:, :, None]
+    return reduction_consts(q, NDIAG)
 
 
 def _pack(wm, q):
@@ -144,14 +116,14 @@ class FourStepMXUPlan:
         logt = tile.bit_length() - 1
         nt = n2 // tile
         fwd_bases = [pow(root, b, q) for b in br1]
-        wt_f, ws_f = _w_factor(fwd_bases,
+        wt_f, ws_f = w_factor(fwd_bases,
                                np.arange(tile), np.arange(nt) * tile, q)
         inv_bases = [pow(iroot, i, q) for i in range(n1)]
         # j = jt*tile + t -> br(j, log2) = br(t, logt)*nt + br(jt, log nt)
         et = np.array([bitreverse(t, logt) * nt for t in range(tile)])
         es = np.array([bitreverse(jt, max(nt.bit_length() - 1, 0))
                        for jt in range(nt)])
-        wt_i, ws_i = _w_factor(inv_bases, et, es, q)
+        wt_i, ws_i = w_factor(inv_bases, et, es, q)
 
         kw: dict = {}
         if n2 <= ROW_MATMUL_MAX:

@@ -1,4 +1,4 @@
-"""Large-ring merged NTT on the MXU (logn 18-24) — six-step composition.
+"""Large-ring merged NTT on the MXU (logn 18-23) — six-step composition.
 
 pallas_mxu.py holds a whole (A, B) polynomial in VMEM, capping it at
 N <= 2^17.  Larger rings recurse the same factorization once more:
@@ -41,8 +41,8 @@ from . import barrett as bo
 from .limb import U64
 from .pallas_merge import _pow_table
 from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _modmat_phase,
-                         _pow_matrix, _split_u32, balanced_digits, GROUP,
-                         NDIAG, OFF)
+                         _pow_matrix, _split_u32, balanced_digits,
+                         reduction_consts, w_factor, NDIAG)
 
 A_COL = 128  # column count: one MXU tile of left-matmul reduction
 
@@ -113,19 +113,10 @@ class MXULargePlan:
         a_inv = pow(A, q - 2, q)
         ginv_col = (ginv_colT.T.astype(object) * a_inv) % q
 
-        def wsplit(bases):
-            """W[a, jT+t] = bases[a]^(jT) * bases[a]^t: tile + scales.
-
-            Scales come out as (B//T, A, 1) so the per-tile block can be
-            (1, A, 1) — Pallas requires the last block dim to equal the
-            array dim when it is not lane-aligned."""
-            wt = _pow_matrix(np.array(bases, dtype=object), q, tile)
-            step = [pow(int(b), tile, q) for b in bases]
-            ws = _pow_matrix(np.array(step, dtype=object), q, B // tile)
-            return wt, np.ascontiguousarray(ws.T)[:, :, None]
-
-        wt_f, ws_f = wsplit(w_base)
-        wt_i, ws_i = wsplit(wi_base)
+        wt_f, ws_f = w_factor(w_base, np.arange(tile),
+                              np.arange(B // tile) * tile, q)
+        wt_i, ws_i = w_factor(wi_base, np.arange(tile),
+                              np.arange(B // tile) * tile, q)
 
         def dig(m):
             return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)))
@@ -142,21 +133,7 @@ class MXULargePlan:
             q, logB, row_root, row_iroot, xnp=False,
             n_inv=pow(B, q - 2, q))
 
-        r40 = (1 << 40) % q
-        offtot = 0
-        for d in range(NDIAG):
-            g, k = divmod(d, GROUP)
-            offtot += (OFF << (8 * k)) << (40 * g)
-        cadd = (-offtot) % q
-        gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
-        smax = 4 * q + gmax
-        m = 1
-        while m * q <= smax:
-            m *= 2
-        chain = []
-        while m >= 1:
-            chain.append(m)
-            m //= 2
+        rc = reduction_consts(q, NDIAG)
 
         return MXULargePlan(
             logn=p.logn, q=q, A=A, B=B, tile=tile,
@@ -165,8 +142,8 @@ class MXULargePlan:
             col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
             wt_inv=pack(wt_i), ws_inv=pack(ws_i),
             row_plan=row_plan,
-            r40=r40, r40s=(r40 << 64) // q, cadd=cadd,
-            canon_chain=tuple(chain),
+            r40=rc["r40"], r40s=rc["r40s"], cadd=rc["cadd"],
+            canon_chain=rc["chain"],
         )
 
 
@@ -250,7 +227,7 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
 
 def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
                          interpret: bool = False) -> U64:
-    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-24."""
+    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-23.\n\n    2^24 is excluded by dispatch: the composed col+row program at that\n    size overwhelms the compiler (the XLA engine covers it)."""
     from .pallas_mxu import pallas_mxu_u64
 
     batch, n = x.hi.shape

@@ -40,3 +40,42 @@ def test_cpu_and_layout_fall_back(monkeypatch):
     assert _path(monkeypatch, 14, np.uint64, backend="cpu") is None
     assert _path(monkeypatch, 14, np.uint64,
                  layout=NTTLayout.PerCoefficient) is None
+
+
+def test_rns_mxu_route_grouping(monkeypatch):
+    """_rns_mxu_route groups batches by modulus, transforms each group
+    with its member plan, and scatters results back in order."""
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    p0 = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    p1 = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+
+    from gpuntt_tpu.ops.rns import RNSMergePlan
+
+    plan = RNSMergePlan.from_params([p0, p1])
+    calls = []
+
+    def fake_ntt(x, mp, **kw):
+        calls.append((id(mp.params), x.shape[0]))
+        return x + np.uint64(1)
+
+    monkeypatch.setattr(dispatch, "ntt", fake_ntt)
+    monkeypatch.setattr(dispatch, "_merge_plan_cached",
+                        lambda prm: type("MP", (), {"params": prm})())
+    x = np.arange(5 * p0.n, dtype=np.uint64).reshape(5, p0.n)
+    mod_idx = np.array([0, 1, 0, 1, 0])
+    out = dispatch._rns_mxu_route(x, plan, mod_idx, inverse=False)
+    assert out is not None
+    np.testing.assert_array_equal(out, x + 1)
+    assert sorted(c[1] for c in calls) == [2, 3]  # group sizes
+
+
+def test_rns_mxu_route_declines_off_tpu(monkeypatch):
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "cpu")
+    p = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+
+    from gpuntt_tpu.ops.rns import RNSMergePlan
+
+    plan = RNSMergePlan.from_params([p])
+    x = np.zeros((2, p.n), dtype=np.uint64)
+    assert dispatch._rns_mxu_route(x, plan, np.zeros(2, np.int64),
+                                   inverse=False) is None

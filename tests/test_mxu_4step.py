@@ -33,3 +33,28 @@ def test_mxu_4step_parity(logn, rng):
     got_i = from_lanes(fourstep_mxu_lanes(lanes, mplan, inverse=True,
                                           interpret=True), True)
     np.testing.assert_array_equal(got_i, exp_i)
+
+
+@pytest.mark.parametrize("logn", [12, 13])
+def test_mxu_4step_row_delegation(logn, rng, monkeypatch):
+    """The n2 > ROW_MATMUL_MAX branch (production path for logn >= 17,
+    where rows go through the in-VMEM merge kernel) — exercised at a
+    lowered threshold so it runs in interpreter mode."""
+    from gpuntt_tpu.ops import pallas_mxu_4step as m4
+
+    monkeypatch.setattr(m4, "ROW_MATMUL_MAX", 64)
+    p = NTTParameters4Step(logn, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    eplan = FourStepPlan.from_params(p)
+    mplan = m4.FourStepMXUPlan.from_params(p)
+    assert mplan.row_plan is not None  # delegation branch built
+    x = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+    lanes = to_lanes(x, True)
+
+    exp_f = from_lanes(jax.jit(lambda v: fourstep_ntt_lanes(v, eplan))(lanes), True)
+    got_f = from_lanes(m4.fourstep_mxu_lanes(lanes, mplan, interpret=True), True)
+    np.testing.assert_array_equal(got_f, exp_f)
+
+    exp_i = from_lanes(jax.jit(lambda v: fourstep_intt_lanes(v, eplan))(lanes), True)
+    got_i = from_lanes(m4.fourstep_mxu_lanes(lanes, mplan, inverse=True,
+                                             interpret=True), True)
+    np.testing.assert_array_equal(got_i, exp_i)
