@@ -141,26 +141,34 @@ def transpose_lanes(x, row: int, col: int):
 
 
 def _mxu_route(x, plan: FourStepPlan, inverse: bool):
-    """Route u64 transforms to the MXU 4-step engine on TPU.
+    """Route transforms to the MXU 4-step engines on TPU.
 
     Returns the transformed lanes, or None if ineligible."""
     import jax as _jax
 
-    if (not plan.is64 or plan.params is None or plan.q >= (1 << 60)
+    q_max = (1 << 60) if plan.is64 else (1 << 30)
+    if (plan.params is None or plan.q >= q_max
             or not 14 <= plan.logn <= 23 or _jax.default_backend() != "tpu"):
         return None
-    from .pallas_mxu_4step import fourstep_mxu_lanes, fourstep_mxu_plan
+    from . import pallas_mxu_4step as m4
 
     try:
-        mplan = fourstep_mxu_plan(plan.params)
+        if plan.is64:
+            mplan = m4.fourstep_mxu_plan(plan.params)
+        else:
+            mplan = m4.fourstep32_mxu_plan(plan.params)
     except ValueError:  # e.g. caller-supplied factors that are not roots
         return None
-    lead = x.hi.shape[:-1]
-    n = x.hi.shape[-1]
+    leaf = x.hi if plan.is64 else x
+    lead = leaf.shape[:-1]
+    n = leaf.shape[-1]
     batch = int(np.prod(lead)) if lead else 1
-    x2 = U64(x.hi.reshape(batch, n), x.lo.reshape(batch, n))
-    y = fourstep_mxu_lanes(x2, mplan, inverse=inverse)
-    return U64(y.hi.reshape(lead + (n,)), y.lo.reshape(lead + (n,)))
+    if plan.is64:
+        x2 = U64(x.hi.reshape(batch, n), x.lo.reshape(batch, n))
+        y = m4.fourstep_mxu_lanes(x2, mplan, inverse=inverse)
+        return U64(y.hi.reshape(lead + (n,)), y.lo.reshape(lead + (n,)))
+    y = m4.fourstep32_mxu_lanes(x.reshape(batch, n), mplan, inverse=inverse)
+    return y.reshape(lead + (n,))
 
 
 def fourstep_ntt_lanes(x, plan: FourStepPlan):

@@ -272,3 +272,205 @@ def fourstep_mxu_lanes(x: U64, plan: FourStepMXUPlan, inverse: bool = False,
     z = pallas_mxu_u64(rows, plan.row_plan, inverse=inverse,
                        interpret=interpret)
     return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+
+
+# ------------------------------------------------------------ 32-bit variant
+#
+# Same two-kernel structure with four radix-256 digits per operand and
+# single-plane uint32 data; the lazy u64 combine collapses back to a
+# uint32 residue (< 3q < 2^32 for the q < 2^30 pools) before each W
+# product, which is then two plain 32-bit lazy Shoup multiplies.
+
+
+@dataclass(frozen=True)
+class FourStep32MXUPlan:
+    logn: int
+    q: int
+    n1: int
+    n2: int
+    tile: int
+    m1T: Any
+    m1T_corr: Any
+    wt_fwd: Any   # 2x (n1, T) u32 value/shoup
+    ws_fwd: Any   # 2x (n2//T, n1, 1)
+    g1T: Any
+    g1T_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+    m2T: Any = None
+    m2T_corr: Any = None
+    g2T: Any = None
+    g2T_corr: Any = None
+    row_plan: Any = None
+    consts: Any = None
+
+    @staticmethod
+    def from_params(p: NTTParameters4Step) -> "FourStep32MXUPlan":
+        from .pallas_mxu32 import MXU32Plan, ND32
+
+        q = p.modulus.value
+        if q >= 1 << 30 or p.dtype != np.uint32:
+            raise ValueError("u32 MXU 4-step requires u32 data and q < 2^30")
+        from ..params.merge import ReductionPolynomial as _RP
+
+        order = (p.n if p.poly_reduction == _RP.X_N_minus else 2 * p.n)
+        if (pow(p.root_of_unity, order, q) != 1
+                or (p.root_of_unity * p.inverse_root_of_unity) % q != 1):
+            raise ValueError("MXU path requires a genuine root of unity")
+        n1, n2 = p.n1, p.n2
+        log1, log2 = n1.bit_length() - 1, n2.bit_length() - 1
+        r1 = host.exp(p.root_of_unity, p.n // n1, p.modulus)
+        r2 = host.exp(p.root_of_unity, p.n // n2, p.modulus)
+        ir1, ir2 = host.modinv(r1, p.modulus), host.modinv(r2, p.modulus)
+        root, iroot = p.root_of_unity, p.inverse_root_of_unity
+
+        br1 = [bitreverse(i, log1) for i in range(n1)]
+        m1T = np.ascontiguousarray(_pow_matrix(
+            np.array([pow(r1, b, q) for b in br1], dtype=object), q, n1).T)
+        g1T = _pow_matrix(np.array([pow(ir1, b, q) for b in br1],
+                                   dtype=object), q, n1)
+
+        tile = min(n2, 2048)
+        logt = tile.bit_length() - 1
+        nt = n2 // tile
+        wt_f, ws_f = w_factor([pow(root, b, q) for b in br1],
+                              np.arange(tile), np.arange(nt) * tile, q)
+        et = np.array([bitreverse(t, logt) * nt for t in range(tile)])
+        es = np.array([bitreverse(jt, max(nt.bit_length() - 1, 0))
+                       for jt in range(nt)])
+        wt_i, ws_i = w_factor([pow(iroot, i, q) for i in range(n1)], et, es, q)
+
+        def dig32(m):
+            return balanced_digits(
+                np.ascontiguousarray(m.astype(np.uint64)), ND32)
+
+        def pack32(wm):
+            wm32 = wm.astype(np.uint32)
+            return (wm32, bo.shoup_companion(wm32, q, 32))
+
+        kw: dict = {}
+        if n2 <= ROW_MATMUL_MAX:
+            br2 = [bitreverse(j, log2) for j in range(n2)]
+            m2T = np.ascontiguousarray(_pow_matrix(
+                np.array([pow(r2, b, q) for b in br2], dtype=object),
+                q, n2).T)
+            g2T = (_pow_matrix(np.array([pow(ir2, b, q) for b in br2],
+                                        dtype=object), q, n2).astype(object)
+                   * int(p.n_inv)) % q
+            d_m2, d_g2 = dig32(m2T), dig32(g2T)
+            kw = dict(m2T=d_m2, m2T_corr=_corr_right(d_m2),
+                      g2T=d_g2, g2T_corr=_corr_right(d_g2))
+        else:
+            kw = dict(row_plan=MXU32Plan.from_spec(
+                q, log2, r2, ir2, xnp=False, n_inv=p.n_inv))
+
+        from .pallas_mxu32 import NDIAG32
+
+        d_m1, d_g1 = dig32(m1T), dig32(g1T)
+        return FourStep32MXUPlan(
+            logn=p.logn, q=q, n1=n1, n2=n2, tile=tile,
+            m1T=d_m1, m1T_corr=_corr_right(d_m1),
+            wt_fwd=pack32(wt_f), ws_fwd=pack32(ws_f),
+            g1T=d_g1, g1T_corr=_corr_right(d_g1),
+            wt_inv=pack32(wt_i), ws_inv=pack32(ws_i),
+            consts=reduction_consts(q, NDIAG32), **kw,
+        )
+
+
+def fourstep32_mxu_plan(params: NTTParameters4Step) -> FourStep32MXUPlan:
+    from .pallas_mxu import plan_to_device
+
+    plan = getattr(params, "_mxu32_4step_plan_cache", None)
+    if plan is None:
+        plan = plan_to_device(FourStep32MXUPlan.from_params(params))
+        params._mxu32_4step_plan_cache = plan
+    return plan
+
+
+def _w_mul32(y, wt, ws, q):
+    y = bo.shoup_mul32_lazy(y, wt[0][...], wt[1][...], q)
+    return bo.shoup_mul32_lazy(y, ws[0][0], ws[1][0], q)
+
+
+def _col_kernel32(md, mc, wtv, wts, wsv, wss, xr, orf, *, consts):
+    from .pallas_mxu32 import _lazy_to_u32
+
+    q = consts["q"]
+    y = _lazy_to_u32(_modmat_phase(xr[0], md, mc, False, consts), consts)
+    y = jnp.swapaxes(y, 0, 1)                              # (n1, T2)
+    orf[0] = _w_mul32(y, (wtv, wts), (wsv, wss), q)        # < 2q, lazy
+
+
+def _row_kernel32(md, mc, xr, orf, *, consts):
+    from .pallas_mxu32 import _canon32, _lazy_to_u32
+
+    q = consts["q"]
+    z = _lazy_to_u32(_modmat_phase(xr[0], md, mc, False, consts), consts)
+    orf[0] = _canon32(z, q)
+
+
+def _run_col32(x, plan: FourStep32MXUPlan, inverse: bool, interpret: bool):
+    batch = x.shape[0]
+    n1, n2, T = plan.n1, plan.n2, plan.tile
+    if inverse:
+        md, mc, wt, ws = plan.g1T, plan.g1T_corr, plan.wt_inv, plan.ws_inv
+    else:
+        md, mc, wt, ws = plan.m1T, plan.m1T_corr, plan.wt_fwd, plan.ws_fwd
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_blk = pl.BlockSpec((1, T, n1), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, n1, T), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    ws_specs = [pl.BlockSpec((1, n1, 1), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws]
+    return pl.pallas_call(
+        functools.partial(_col_kernel32, consts=plan.consts),
+        out_shape=jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32),
+        grid=(batch, n2 // T),
+        in_specs=[fullspec(md), fullspec(mc),
+                  *[fullspec(t) for t in wt], *ws_specs, in_blk],
+        out_specs=out_blk,
+        interpret=interpret,
+    )(md, mc, *wt, *ws, x)
+
+
+def _run_row32_matmul(x, plan: FourStep32MXUPlan, inverse: bool,
+                      interpret: bool):
+    batch = x.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    md, mc = (plan.g2T, plan.g2T_corr) if inverse else (plan.m2T, plan.m2T_corr)
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    blk = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_row_kernel32, consts=plan.consts),
+        out_shape=jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32),
+        grid=(batch,),
+        in_specs=[fullspec(md), fullspec(mc), blk],
+        out_specs=blk,
+        interpret=interpret,
+    )(md, mc, x)
+
+
+def fourstep32_mxu_lanes(x, plan: FourStep32MXUPlan, inverse: bool = False,
+                         interpret: bool = False):
+    """u32 GPU_4STEP_NTT-convention transform on (batch, N) uint32."""
+    from .pallas_mxu32 import pallas_mxu_u32
+
+    batch, n = x.shape
+    n1, n2 = plan.n1, plan.n2
+    y = _run_col32(x.reshape(batch, n2, n1), plan, inverse, interpret)
+    if plan.row_plan is None:
+        z = _run_row32_matmul(y, plan, inverse, interpret)
+        return z.reshape(batch, n)
+    z = pallas_mxu_u32(y.reshape(batch * n1, n2), plan.row_plan,
+                       inverse=inverse, interpret=interpret)
+    return z.reshape(batch, n)
