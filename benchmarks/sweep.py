@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--dtypes", default="u32,u64")
     ap.add_argument("--batch-mb", type=int, default=64,
                     help="total data footprint per run (fixes work per size)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="fixed batch size (e.g. 1 for the reference's "
+                         "nvbench latency scope); overrides --batch-mb")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +87,7 @@ def main():
         for logn in sizes:
             n = 1 << logn
             itemsize = 4 if dtype == np.uint32 else 8
-            batch = max(1, (args.batch_mb << 20) // (n * itemsize))
+            batch = args.batch or max(1, (args.batch_mb << 20) // (n * itemsize))
             for engine in (["merge", "4step"] if args.engine == "all"
                            else [args.engine]):
                 if engine == "4step" and not 12 <= logn <= 24:

@@ -35,6 +35,29 @@ from .params.fourstep import MATRIX_DIMENSIONS, NTTParameters4Step
 from .reference.merge_cpu import NTTCPU
 from .reference.fourstep_cpu import NTT4StepCPU
 from .reference.schoolbook import schoolbook_poly_multiplication
+from .ops.merge_ntt import MergePlan
+from .ops.fourstep import (
+    FourStepPlan,
+    fourstep_intt_full,
+    fourstep_intt_lanes,
+    fourstep_ntt_full,
+    fourstep_ntt_lanes,
+    transpose_lanes,
+)
+from .ops.dispatch import (
+    NTTConfig,
+    intt,
+    intt_lanes,
+    intt_modulus_ordered,
+    intt_poly_ordered,
+    intt_rns,
+    ntt,
+    ntt_lanes,
+    ntt_modulus_ordered,
+    ntt_poly_ordered,
+    ntt_rns,
+)
+from .ops.rns import RNSMergePlan
 
 __version__ = "0.1.0"
 
@@ -63,4 +86,23 @@ __all__ = [
     "NTTCPU",
     "NTT4StepCPU",
     "schoolbook_poly_multiplication",
+    "MergePlan",
+    "FourStepPlan",
+    "fourstep_intt_full",
+    "fourstep_intt_lanes",
+    "fourstep_ntt_full",
+    "fourstep_ntt_lanes",
+    "transpose_lanes",
+    "NTTConfig",
+    "intt",
+    "intt_lanes",
+    "intt_modulus_ordered",
+    "intt_poly_ordered",
+    "intt_rns",
+    "ntt",
+    "ntt_lanes",
+    "ntt_modulus_ordered",
+    "ntt_poly_ordered",
+    "ntt_rns",
+    "RNSMergePlan",
 ]
