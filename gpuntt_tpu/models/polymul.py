@@ -14,15 +14,13 @@ schoolbook); here it is a first-class, jittable model:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 import jax
 
 from ..params.merge import NTTParameters, ReductionPolynomial
 from ..params.fourstep import NTTParameters4Step
 from ..ops import barrett as bo
-from ..ops.merge_ntt import MergePlan, from_lanes, merge_intt_lanes, merge_ntt_lanes, to_lanes
+from ..ops.merge_ntt import MergePlan, from_lanes, to_lanes
 from ..ops.fourstep import FourStepPlan
 from ..parallel.fourstep_dist import (
     DistFourStepPlan,

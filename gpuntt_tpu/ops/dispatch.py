@@ -35,9 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..params.merge import NTTLayout, NTTParameters, NTTType, ReductionPolynomial
+from ..params.merge import NTTLayout, NTTType, ReductionPolynomial
 from . import barrett as bo
-from .limb import U64, u64_from_numpy, u64_to_numpy
 from .merge_ntt import MergePlan, from_lanes, merge_intt_lanes, merge_ntt_lanes, to_lanes
 
 

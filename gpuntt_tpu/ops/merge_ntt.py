@@ -19,14 +19,12 @@ the reference's Barrett outputs).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..arith.modulus import Modulus
 from ..params.bitrev import bitrev_permute
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo

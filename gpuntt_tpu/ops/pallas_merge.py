@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any
 
 import numpy as np
 import jax
@@ -39,11 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..arith import host
 from ..params.bitrev import bitrev_permute, bitreverse_indices
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
-from .limb import U64
 
 LANES = 128
 

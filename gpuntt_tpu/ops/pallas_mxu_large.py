@@ -39,7 +39,6 @@ from ..params.bitrev import bitreverse
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
 from .limb import U64
-from .pallas_merge import _pow_table
 from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _modmat_phase,
                          _pow_matrix, _split_u32, balanced_digits,
                          reduction_consts, w_factor, NDIAG)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..params.bitrev import bitrev_permute
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
-from .limb import U64, u64_from_numpy
+from .limb import u64_from_numpy
 
 
 def _tmap(f, *xs):

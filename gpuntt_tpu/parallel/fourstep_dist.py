@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..params.bitrev import bitrev_permute
 from ..params.fourstep import NTTParameters4Step
 from .. import ops
 from ..ops import barrett as bo

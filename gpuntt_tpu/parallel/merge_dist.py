@@ -29,10 +29,8 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import barrett as bo
-from ..ops.limb import U64
 from ..ops.merge_ntt import MergePlan
 from ..params.merge import ReductionPolynomial
 
