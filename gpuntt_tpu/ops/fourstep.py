@@ -146,9 +146,12 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     Returns the transformed lanes, or None if ineligible."""
     import jax as _jax
 
+    # measured on v5e: the u64 MXU engine wins from logn 14; for u32 the
+    # stage-sweep engine stays ahead until the n2 > 512 sizes (logn 17+)
+    lo = 14 if plan.is64 else 17
     q_max = (1 << 60) if plan.is64 else (1 << 30)
     if (plan.params is None or plan.q >= q_max
-            or not 14 <= plan.logn <= 23 or _jax.default_backend() != "tpu"):
+            or not lo <= plan.logn <= 23 or _jax.default_backend() != "tpu"):
         return None
     from . import pallas_mxu_4step as m4
 
