@@ -39,9 +39,9 @@ from ..params.bitrev import bitreverse
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
 from .limb import U64
-from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _modmat_phase,
-                         _pow_matrix, _split_u32, balanced_digits,
-                         reduction_consts, w_factor, NDIAG)
+from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _corr_right,
+                         _modmat_phase, _pow_matrix, _split_u32,
+                         balanced_digits, reduction_consts, w_factor, NDIAG)
 
 A_COL = 128  # column count: one MXU tile of left-matmul reduction
 
@@ -65,11 +65,17 @@ class MXULargePlan:
     col_inv_corr: Any
     wt_inv: Any
     ws_inv: Any
-    row_plan: MXUMergePlan  # B-point merge spec; its inverse folds B^-1
-    r40: int
-    r40s: int
-    cadd: int
-    canon_chain: tuple
+    row_plan: Any           # B-point merge spec; its inverse folds B^-1 ...
+    # ... or, when B <= 512, single right-matmul row tables (healthy
+    # MXU contraction where a nested from_spec split would degenerate)
+    row_fwd: Any = None     # (ND, B, B) int8, R^T digits
+    row_fwd_corr: Any = None
+    row_inv: Any = None     # Ginv_row^T digits with B^-1 folded
+    row_inv_corr: Any = None
+    r40: int = 0
+    r40s: int = 0
+    cadd: int = 0
+    canon_chain: tuple = ()
 
     @staticmethod
     def from_params(p: NTTParameters, a_col: int | None = None) -> "MXULargePlan":
@@ -82,14 +88,25 @@ class MXULargePlan:
         if (pow(p.root_of_unity, order, q) != 1
                 or (p.root_of_unity * p.inverse_root_of_unity) % q != 1):
             raise ValueError("MXU path requires a genuine root of unity")
-        # A = 128 columns except when the rows would exceed 2^16 (the
-        # composed col+row program at B = 2^17 overwhelms the compiler)
-        A = a_col or max(A_COL, n >> 16)
+        # A = 128 columns except: a balanced split with single-matmul
+        # rows at logn 18 (nested from_spec rows would degenerate to
+        # contraction-16 dots), and wider columns when the rows would
+        # exceed 2^16 (the composed col+row program at B = 2^17
+        # overwhelms the compiler)
+        if a_col:
+            A = a_col
+        elif p.logn == 18:
+            A = 512
+        else:
+            A = max(A_COL, n >> 16)
         B = n // A
         logA = A.bit_length() - 1
         logB = p.logn - logA
         assert 1 <= logB <= 17, "row transform must fit the in-VMEM kernel"
-        tile = min(B, 1024)
+        # column tile scales inversely with A: the kernel's VMEM stack is
+        # proportional to A*T (the inverse variant at A=512, T=512
+        # measured 20.9M against the 16M scoped limit)
+        tile = min(B, max(128, (1 << 17) // A))
         xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
         r, ri = p.root_of_unity, p.inverse_root_of_unity
         brA = [bitreverse(a, logA) for a in range(A)]
@@ -128,9 +145,25 @@ class MXULargePlan:
         col_fwd = dig(mcol)
         col_inv = dig(ginv_col)
 
-        row_plan = MXUMergePlan.from_spec(
-            q, logB, row_root, row_iroot, xnp=False,
-            n_inv=pow(B, q - 2, q))
+        kw: dict = {}
+        if B <= 512:
+            logB_ = B.bit_length() - 1
+            brB = [bitreverse(b, logB_) for b in range(B)]
+            rrT = np.ascontiguousarray(_pow_matrix(
+                np.array([pow(row_root, b, q) for b in brB], dtype=object),
+                q, B).T)
+            b_inv = pow(B, q - 2, q)
+            grT = (_pow_matrix(
+                np.array([pow(row_iroot, b, q) for b in brB], dtype=object),
+                q, B).astype(object) * b_inv) % q
+            d_rf, d_ri = dig(rrT), dig(grT)
+            kw = dict(row_plan=None,
+                      row_fwd=d_rf, row_fwd_corr=_corr_right(d_rf),
+                      row_inv=d_ri, row_inv_corr=_corr_right(d_ri))
+        else:
+            kw = dict(row_plan=MXUMergePlan.from_spec(
+                q, logB, row_root, row_iroot, xnp=False,
+                n_inv=pow(B, q - 2, q)))
 
         rc = reduction_consts(q, NDIAG)
 
@@ -140,9 +173,8 @@ class MXULargePlan:
             wt_fwd=pack(wt_f), ws_fwd=pack(ws_f),
             col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
             wt_inv=pack(wt_i), ws_inv=pack(ws_i),
-            row_plan=row_plan,
             r40=rc["r40"], r40s=rc["r40s"], cadd=rc["cadd"],
-            canon_chain=rc["chain"],
+            canon_chain=rc["chain"], **kw,
         )
 
 
@@ -224,22 +256,71 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
     return U64(oh, ol)
 
 
+def _row_matmul_kernel(md, mc, xh, xl, oh, ol, *, consts):
+    x = U64(xh[0], xl[0])                                  # (T1, B)
+    z = _canon(_modmat_phase(x, md, mc, False, consts), consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _row_matmul_call(x: U64, plan: MXULargePlan, inverse: bool,
+                     interpret: bool) -> U64:
+    batch = x.hi.shape[0]
+    A, B = plan.A, plan.B
+    consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
+                  chain=plan.canon_chain)
+    md, mc = ((plan.row_inv, plan.row_inv_corr) if inverse
+              else (plan.row_fwd, plan.row_fwd_corr))
+    t1 = min(A, max(8, (1 << 20) // (B * 8)))
+    while A % t1:
+        t1 -= 1
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    blk = pl.BlockSpec((1, t1, B), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    oh, ol = pl.pallas_call(
+        functools.partial(_row_matmul_kernel, consts=consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid=(batch, A // t1),
+        in_specs=[fullspec(md), fullspec(mc), blk, blk],
+        out_specs=(blk, blk),
+        interpret=interpret,
+    )(md, mc, x.hi, x.lo)
+    return U64(oh, ol)
+
+
 def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
                          interpret: bool = False) -> U64:
-    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-23.\n\n    2^24 is excluded by dispatch: the composed col+row program at that\n    size overwhelms the compiler (the XLA engine covers it)."""
+    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-23.
+
+    2^24 is excluded by dispatch: the composed col+row program at that
+    size overwhelms the compiler (the XLA engine covers it)."""
     from .pallas_mxu import pallas_mxu_u64
 
     batch, n = x.hi.shape
     A, B = plan.A, plan.B
     if inverse:
         # rows first (merge_B inverse, B^-1 folded), then W^-1 + columns
-        rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
-        y = pallas_mxu_u64(rows, plan.row_plan, inverse=True,
-                           interpret=interpret)
-        y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+        if plan.row_plan is None:
+            xv = U64(x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+            y = _row_matmul_call(xv, plan, inverse=True, interpret=interpret)
+            y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+        else:
+            rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
+            y = pallas_mxu_u64(rows, plan.row_plan, inverse=True,
+                               interpret=interpret)
+            y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
         z = _col_call(y, plan, inverse=True, interpret=interpret)
         return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
     y = _col_call(x, plan, inverse=False, interpret=interpret)
+    if plan.row_plan is None:
+        yv = U64(y.hi.reshape(batch, A, B), y.lo.reshape(batch, A, B))
+        z = _row_matmul_call(yv, plan, inverse=False, interpret=interpret)
+        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
     rows = U64(y.hi.reshape(batch * A, B), y.lo.reshape(batch * A, B))
     z = pallas_mxu_u64(rows, plan.row_plan, interpret=interpret)
     return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))

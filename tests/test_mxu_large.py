@@ -57,3 +57,23 @@ def test_mxu32_large_parity(poly, rng):
     back = np.asarray(pallas_mxu32_large(exp.astype(np.uint32), plan,
                                          inverse=True, interpret=True))
     np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize(
+    "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
+)
+def test_mxu_large_row_matmul_branch(poly, rng):
+    """B <= 512 takes the single-matmul row branch (production: logn 18)."""
+    p = NTTParameters(13, poly, dtype=np.uint64)
+    plan = MXULargePlan.from_params(p, a_col=32)  # B = 256
+    assert plan.row_plan is None and plan.row_fwd is not None
+    gen = NTTCPU(p)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+    got = from_lanes(
+        pallas_mxu_large_u64(to_lanes(x, True), plan, interpret=True), True)
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+    back = from_lanes(
+        pallas_mxu_large_u64(to_lanes(exp, True), plan, inverse=True,
+                             interpret=True), True)
+    np.testing.assert_array_equal(back, x)
