@@ -19,6 +19,13 @@ the mathematical inverse chain (GS stages + elementwise W^-1 with the
 forward index pattern + single n^-1) back to (B, n1, n2)[n2@sp].
 Exact integer arithmetic makes both bit-identical to the single-chip
 engines, which the tests assert on a virtual mesh.
+
+Local transforms route to the MXU digit-matmul kernels on TPU (the
+n2-point row NTT is the expensive local op: n2 is 128..65536 in the
+reference factor table, nttparameters.cu:305-354, while n1 <= 256
+stays on the XLA butterfly path).  `local_engine='xla'|'mxu'|None`
+(None = MXU where eligible on a TPU backend); both engines are
+bit-identical, so the choice never changes results.
 """
 
 from __future__ import annotations
@@ -32,11 +39,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..params.fourstep import NTTParameters4Step
-from .. import ops
+from ..arith import host
 from ..ops import barrett as bo
 from ..ops.fourstep import FourStepPlan
-from ..ops.limb import u64_from_numpy
+from ..ops.limb import U64, u64_from_numpy
 from ..ops.merge_ntt import ct_stages, gs_stages
+
+MXU_LOCAL_MIN_LOGN = 12  # below this the XLA stages win (see RESULTS sweep)
 
 
 def _tmap(f, *xs):
@@ -45,11 +54,14 @@ def _tmap(f, *xs):
 
 @dataclass(frozen=True)
 class DistFourStepPlan:
-    """FourStepPlan + the chain-inverse W table the distributed INTT uses."""
+    """FourStepPlan + the chain-inverse W table the distributed INTT uses,
+    plus optional MXU sub-plans for the local column/row transforms."""
 
     base: FourStepPlan
     w_chain_inv: Any  # (n1, n2) lanes, elementwise inverse of w_fwd
     w_chain_inv_sh: Any
+    col_mxu: Any = None  # MXUMergePlan for the local n1-point NTT
+    row_mxu: Any = None  # MXUMergePlan for the local n2-point NTT
 
     @staticmethod
     def from_params(p: NTTParameters4Step) -> "DistFourStepPlan":
@@ -61,10 +73,34 @@ class DistFourStepPlan:
             rep = lambda a: u64_from_numpy(np.asarray(a, dtype=np.uint64))
         else:
             rep = lambda a: jnp.asarray(np.asarray(a, dtype=np.uint32))
+
+        # MXU sub-plans for local transforms: the n1/n2 stage sweeps are
+        # plain X_N_minus merge NTTs with roots omega^(n/n1), omega^(n/n2)
+        # (nttparameters.cu:356-380), so the digit-matmul engine applies
+        # unchanged; n_inv=1 keeps the inverse unscaled (the distributed
+        # chain applies the single n^-1 at the end).
+        col_mxu = row_mxu = None
+        if base.is64 and q < (1 << 60):
+            from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
+
+            def sub_plan(nloc: int):
+                lg = nloc.bit_length() - 1
+                if lg < MXU_LOCAL_MIN_LOGN:
+                    return None
+                r = host.exp(p.root_of_unity, p.n // nloc, p.modulus)
+                ir = host.modinv(r, p.modulus)
+                return plan_to_device(
+                    MXUMergePlan.from_spec(q, lg, r, ir, xnp=False, n_inv=1))
+
+            col_mxu = sub_plan(p.n1)
+            row_mxu = sub_plan(p.n2)
+
         return DistFourStepPlan(
             base=base,
             w_chain_inv=rep(wci),
             w_chain_inv_sh=rep(bo.shoup_companion(wci, q, word)),
+            col_mxu=col_mxu,
+            row_mxu=row_mxu,
         )
 
 
@@ -81,70 +117,120 @@ def _intt_axis1(v, table, shoup, ops_, log_size):
     return _tmap(lambda a: jnp.swapaxes(a, -1, -2), v)
 
 
-def _local_fwd(x, w, ws, plan: FourStepPlan):
+def _mxu_last_axis(v: U64, sub_plan, inverse: bool, interpret: bool) -> U64:
+    """Local NTT along the last axis via the MXU merge kernel."""
+    from ..ops.pallas_mxu import pallas_mxu_u64
+
+    b0, b1, nloc = v.hi.shape
+    rows = U64(v.hi.reshape(b0 * b1, nloc), v.lo.reshape(b0 * b1, nloc))
+    z = pallas_mxu_u64(rows, sub_plan, inverse=inverse, interpret=interpret)
+    return U64(z.hi.reshape(b0, b1, nloc), z.lo.reshape(b0, b1, nloc))
+
+
+def _mxu_axis1(v: U64, sub_plan, inverse: bool, interpret: bool) -> U64:
+    sw = _tmap(lambda a: jnp.swapaxes(a, -1, -2), v)
+    sw = _mxu_last_axis(sw, sub_plan, inverse, interpret)
+    return _tmap(lambda a: jnp.swapaxes(a, -1, -2), sw)
+
+
+def _local_fwd(x, w, ws, plan: FourStepPlan, dplan=None, local="xla",
+               interpret=False):
     """Per-shard forward: local column NTT + local W product + all_to_all
     + local row NTT.  Runs inside shard_map; x: (B/dp, n1, n2/sp)."""
     ops_ = plan.ops()
     log_n1 = plan.n1.bit_length() - 1
     log_n2 = plan.n2.bit_length() - 1
+    use_col = local == "mxu" and dplan is not None and dplan.col_mxu is not None
+    use_row = local == "mxu" and dplan is not None and dplan.row_mxu is not None
 
-    v = _ntt_axis1(x, plan.n1_fwd, plan.n1_fwd_sh, ops_, log_n1)
+    if use_col:
+        v = _mxu_axis1(x, dplan.col_mxu, False, interpret)
+    else:
+        v = _ntt_axis1(x, plan.n1_fwd, plan.n1_fwd_sh, ops_, log_n1)
     v = ops_["mulc"](v, w, ws)
     # distributed transpose: split n1 (axis 1) across sp, gather n2 (axis 2)
     v = _tmap(
         lambda a: jax.lax.all_to_all(a, "sp", split_axis=1, concat_axis=2, tiled=True),
         v,
     )
-    v = ct_stages(v, plan.n2_fwd, plan.n2_fwd_sh, ops_, log_n2, xnp=False)
+    if use_row:
+        v = _mxu_last_axis(v, dplan.row_mxu, False, interpret)
+    else:
+        v = ct_stages(v, plan.n2_fwd, plan.n2_fwd_sh, ops_, log_n2, xnp=False)
     # output matrix layout (n2, n1): local swap turns (B, n1/sp, n2) into
     # (B, n2, n1/sp) == global (B, n2, n1) sharded on the n1 axis.
     return _tmap(lambda a: jnp.swapaxes(a, 1, 2), v)
 
 
-def _local_inv(s, wci, wcis, plan: FourStepPlan):
+def _local_inv(s, wci, wcis, plan: FourStepPlan, dplan=None, local="xla",
+               interpret=False):
     """Per-shard inverse chain; s: (B/dp, n2, n1/sp) -> (B/dp, n1, n2/sp)."""
     ops_ = plan.ops()
     log_n1 = plan.n1.bit_length() - 1
     log_n2 = plan.n2.bit_length() - 1
+    use_col = local == "mxu" and dplan is not None and dplan.col_mxu is not None
+    use_row = local == "mxu" and dplan is not None and dplan.row_mxu is not None
 
     v = _tmap(lambda a: jnp.swapaxes(a, 1, 2), s)  # (B, n1/sp, n2)
-    v = gs_stages(v, plan.n2_inv, plan.n2_inv_sh, ops_, log_n2, xnp=False)
+    if use_row:
+        v = _mxu_last_axis(v, dplan.row_mxu, True, interpret)
+    else:
+        v = gs_stages(v, plan.n2_inv, plan.n2_inv_sh, ops_, log_n2, xnp=False)
     # reshard n1-sharded -> n2-sharded (reverse all_to_all)
     v = _tmap(
         lambda a: jax.lax.all_to_all(a, "sp", split_axis=2, concat_axis=1, tiled=True),
         v,
     )
     v = ops_["mulc"](v, wci, wcis)
-    v = _intt_axis1(v, plan.n1_inv, plan.n1_inv_sh, ops_, log_n1)
+    if use_col:
+        v = _mxu_axis1(v, dplan.col_mxu, True, interpret)
+    else:
+        v = _intt_axis1(v, plan.n1_inv, plan.n1_inv_sh, ops_, log_n1)
     v = ops_["mulc"](v, plan.n_inv_rep, plan.n_inv_shoup)
     return v
 
 
-def dist_fourstep_ntt(x, dplan: DistFourStepPlan, mesh: Mesh):
+def _resolve_local(dplan: DistFourStepPlan, local_engine):
+    if local_engine is not None:
+        return local_engine
+    has_mxu = dplan.col_mxu is not None or dplan.row_mxu is not None
+    return "mxu" if has_mxu and jax.default_backend() == "tpu" else "xla"
+
+
+def dist_fourstep_ntt(x, dplan: DistFourStepPlan, mesh: Mesh,
+                      local_engine: str | None = None,
+                      interpret: bool = False):
     """Forward distributed 4-step NTT.
 
     x: lane rep of shape (B, n1, n2), sharded P('dp', None, 'sp').
     Returns the (B, n2, n1) spectrum (reference natural output layout,
     cf. NTT_4STEP_CPU::ntt final transpose), sharded P('dp', None, 'sp').
+    local_engine: 'xla' | 'mxu' | None (auto: MXU on TPU where eligible).
     """
     plan = dplan.base
+    local = _resolve_local(dplan, local_engine)
     f = jax.shard_map(
-        lambda v, w, ws: _local_fwd(v, w, ws, plan),
+        lambda v, w, ws: _local_fwd(v, w, ws, plan, dplan, local, interpret),
         mesh=mesh,
         in_specs=(P("dp", None, "sp"), P(None, "sp"), P(None, "sp")),
         out_specs=P("dp", None, "sp"),
+        check_vma=False,
     )
     return f(x, plan.w_fwd, plan.w_fwd_sh)
 
 
-def dist_fourstep_intt(s, dplan: DistFourStepPlan, mesh: Mesh):
+def dist_fourstep_intt(s, dplan: DistFourStepPlan, mesh: Mesh,
+                       local_engine: str | None = None,
+                       interpret: bool = False):
     """Inverse distributed 4-step NTT: (B, n2, n1)[P('dp',None,'sp')] ->
     (B, n1, n2)[P('dp',None,'sp')]; exact inverse of dist_fourstep_ntt."""
     plan = dplan.base
+    local = _resolve_local(dplan, local_engine)
     f = jax.shard_map(
-        lambda v, w, ws: _local_inv(v, w, ws, plan),
+        lambda v, w, ws: _local_inv(v, w, ws, plan, dplan, local, interpret),
         mesh=mesh,
         in_specs=(P("dp", None, "sp"), P(None, "sp"), P(None, "sp")),
         out_specs=P("dp", None, "sp"),
+        check_vma=False,
     )
     return f(s, dplan.w_chain_inv, dplan.w_chain_inv_sh)

@@ -78,3 +78,36 @@ def test_dist_output_sharding(rng):
     out = dist_fourstep_ntt(lanes, dplan, mesh)
     shard_shapes = {s.data.shape for s in out.addressable_shards}
     assert shard_shapes == {(1, p.n2, p.n1 // 8)}
+
+
+def test_dist_local_mxu_routing_bit_exact(rng):
+    """The MXU local-engine route (rows as digit matmuls inside
+    shard_map) is bit-identical to the XLA stage sweeps, both
+    directions.  n2 = 8192 at logn 18 makes the row sub-plan eligible
+    (MXU_LOCAL_MIN_LOGN); Pallas runs in interpret mode on the CPU
+    mesh."""
+    p = NTTParameters4Step(18, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    dplan = DistFourStepPlan.from_params(p)
+    assert dplan.row_mxu is not None          # n2 = 8192 >= 2^12
+    assert dplan.col_mxu is None              # n1 = 32 stays on XLA
+    mesh = make_mesh(dp=2, sp=4)
+    batch = 2
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
+
+    lanes = _tput(to_lanes(x.reshape(batch, p.n1, p.n2), True), mesh,
+                  P("dp", None, "sp"))
+    ref = dist_fourstep_ntt(lanes, dplan, mesh, local_engine="xla")
+    got = dist_fourstep_ntt(lanes, dplan, mesh, local_engine="mxu",
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hi), np.asarray(ref.hi))
+    np.testing.assert_array_equal(np.asarray(got.lo), np.asarray(ref.lo))
+
+    back_ref = dist_fourstep_intt(ref, dplan, mesh, local_engine="xla")
+    back_got = dist_fourstep_intt(ref, dplan, mesh, local_engine="mxu",
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(back_got.hi),
+                                  np.asarray(back_ref.hi))
+    np.testing.assert_array_equal(np.asarray(back_got.lo),
+                                  np.asarray(back_ref.lo))
+    got_x = from_lanes(back_got, True).reshape(batch, p.n)
+    np.testing.assert_array_equal(got_x, x)
