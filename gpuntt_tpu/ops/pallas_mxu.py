@@ -198,8 +198,6 @@ class MXUMergePlan:
         (folded into the inverse's last matrix) need not equal N^-1 —
         the large-ring composition passes partial scalings.
         """
-        if q >= 1 << 60:
-            raise ValueError("MXU path requires q < 2^60")
         n = 1 << logn
         # the factorization is an exponent-arithmetic identity: it needs
         # root to be a genuine (2)N-th root of unity.  The butterfly
@@ -208,6 +206,43 @@ class MXUMergePlan:
         order = 2 * n if xnp else n
         if pow(root, order, q) != 1 or (root * iroot) % q != 1:
             raise ValueError("MXU path requires a genuine root of unity")
+        if xnp:
+            omega, iomega = root * root % q, iroot * iroot % q
+            psi, ipsi = root, iroot
+        else:
+            omega, iomega, psi, ipsi = root, iroot, 1, 1
+        return MXUMergePlan.from_eval(q, logn, omega, iomega, psi, ipsi,
+                                      n_inv)
+
+    @staticmethod
+    def from_eval(q: int, logn: int, omega: int, iomega: int, psi: int,
+                  ipsi: int, n_inv: int) -> "MXUMergePlan":
+        """Plan for the generalized evaluation transform
+
+            out[k] = sum_j x[j] * (psi * omega^bitrev(k, logn))^j   mod q
+
+        which covers the classic merge NTTs (X_N_minus: psi = 1;
+        X_N_plus: omega = root^2, psi = root) AND the twisted local
+        tails of a coefficient-sharded merge NTT, where shard r of sp
+        computes exactly this transform with omega = root^sp (or
+        psi_full^(2 sp)) and psi = psi_full^(2 bitrev(r, log sp) + 1)
+        (see parallel/merge_dist.py).  Requires only omega^n == 1; psi
+        may be ANY unit — the A x B factorization below is pure exponent
+        algebra: with bitrev(k) = A br(b') + br(a), j = a2 B + b,
+
+            E(k)^j = [ (psi omega^br(a))^B ]^a2          (left matrix)
+                     * [ psi omega^br(a) ]^b             (W)
+                     * [ omega^(A br(b')) ]^b            (right matrix)
+
+        plus omega^(n a2 br(b')) = 1 to kill the cross term.
+        """
+        if q >= 1 << 60:
+            raise ValueError("MXU path requires q < 2^60")
+        n = 1 << logn
+        if pow(omega, n, q) != 1 or (omega * iomega) % q != 1 \
+                or (psi * ipsi) % q != 1:
+            raise ValueError("from_eval requires omega^n == 1 and exact "
+                             "inverses")
         logB = min(logn, max((logn + 1) // 2, 7))
         B = 1 << logB
         A = n // B
@@ -220,22 +255,14 @@ class MXUMergePlan:
         brA = np.array([bitreverse(a, logA) for a in range(A)], dtype=object)
         brB = np.array([bitreverse(b, logB) for b in range(B)], dtype=object)
 
-        if xnp:
-            r, ri = root, iroot
-            m_base = [pow(r, B * (2 * int(a) + 1), q) for a in brA]
-            w_base = [pow(r, 2 * int(a) + 1, q) for a in brA]
-            rr_base = [pow(r, 2 * A * int(b), q) for b in brB]
-            mi_base = [pow(ri, B * (2 * int(a) + 1), q) for a in brA]
-            wi_base = [pow(ri, 2 * int(a) + 1, q) for a in brA]
-            rri_base = [pow(ri, 2 * A * int(b), q) for b in brB]
-        else:
-            r, ri = root, iroot
-            m_base = [pow(r, B * int(a), q) for a in brA]
-            w_base = [pow(r, int(a), q) for a in brA]
-            rr_base = [pow(r, A * int(b), q) for b in brB]
-            mi_base = [pow(ri, B * int(a), q) for a in brA]
-            wi_base = [pow(ri, int(a), q) for a in brA]
-            rri_base = [pow(ri, A * int(b), q) for b in brB]
+        e_a = [psi * pow(omega, int(a), q) % q for a in brA]
+        ei_a = [ipsi * pow(iomega, int(a), q) % q for a in brA]
+        m_base = [pow(e, B, q) for e in e_a]
+        w_base = e_a
+        rr_base = [pow(omega, A * int(b), q) for b in brB]
+        mi_base = [pow(e, B, q) for e in ei_a]
+        wi_base = ei_a
+        rri_base = [pow(iomega, A * int(b), q) for b in brB]
 
         # forward: Mcol[a, a2] = m_base[a]^a2 ; R[b', b] = rr_base[b']^b
         mcol = _pow_matrix(np.array(m_base, dtype=object), q, A)

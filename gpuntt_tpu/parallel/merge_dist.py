@@ -20,11 +20,23 @@ Key structural facts (both proved by the contiguous-block sharding):
 
 Outputs are bit-identical to the single-chip merge engines; the suite
 asserts equality on a virtual CPU mesh.
+
+The shard-local tail is itself MXU-routable: shard r computes the
+evaluation-twisted transform out[k'] = sum_j x_j (Psi_r Omega^br(k'))^j
+with Omega = root^sp (X_N_minus: Psi_r = root^br(r); X_N_plus:
+Omega = psi^(2 sp), Psi_r = psi^(2 br(r) + 1)) — the subtree of the
+full twiddle table rooted at index sp + r.  MXUMergePlan.from_eval
+covers exactly this family, so the local stages become two digit
+matmuls per shard; only the left matrix and W tables vary with r
+(stacked and rank-indexed), the right matrix is shared.
 """
 
 from __future__ import annotations
 
+import dataclasses
+from dataclasses import dataclass
 from functools import partial
+from typing import Any
 
 import numpy as np
 import jax
@@ -32,7 +44,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.merge_ntt import MergePlan
+from ..params.bitrev import bitreverse
 from ..params.merge import ReductionPolynomial
+
+MXU_LOCAL_MIN_LOGN = 12  # below this the XLA stages win (see RESULTS sweep)
 
 
 def _tmap(f, *xs):
@@ -50,6 +65,113 @@ def _dyn_index(tab, idx):
 
 def _sel(pred, a, b):
     return _tmap(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@dataclass(frozen=True)
+class MergeDistMXU:
+    """Per-shard MXU plans for the local tail: a template plan (shard 0)
+    plus the rank-varying tables stacked on a leading (sp,) axis."""
+
+    template: Any
+    fwd_left: Any
+    fwd_left_corr: Any
+    w_fwd: Any       # tuple of 4 stacked (sp, A, B) uint32
+    inv_left: Any
+    inv_left_corr: Any
+    w_inv: Any
+
+
+def _build_merge_dist_mxu(plan: MergePlan, sp: int):
+    """Stacked from_eval plans for the sp local tails, or None when the
+    MXU route is ineligible (u32, big q, small local size, or
+    caller-supplied non-root tables — those keep the XLA stages,
+    matching the reference's garbage-in/garbage-out)."""
+    from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
+
+    p = plan.params
+    if p is None or not plan.is64 or plan.q >= (1 << 60):
+        return None
+    logsp = sp.bit_length() - 1
+    lognl = plan.logn - logsp
+    if lognl < MXU_LOCAL_MIN_LOGN or lognl > 17:
+        return None
+    q = plan.q
+    xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
+    r, ri = p.root_of_unity, p.inverse_root_of_unity
+    order = (2 << plan.logn) if xnp else (1 << plan.logn)
+    if pow(r, order, q) != 1 or r * ri % q != 1:
+        return None
+    if xnp:
+        omega, iomega = pow(r, 2 * sp, q), pow(ri, 2 * sp, q)
+        tw = [(pow(r, 2 * bitreverse(t, logsp) + 1, q),
+               pow(ri, 2 * bitreverse(t, logsp) + 1, q)) for t in range(sp)]
+    else:
+        omega, iomega = pow(r, sp, q), pow(ri, sp, q)
+        tw = [(pow(r, bitreverse(t, logsp), q),
+               pow(ri, bitreverse(t, logsp), q)) for t in range(sp)]
+    plans = [MXUMergePlan.from_eval(q, lognl, omega, iomega, ps, ips, 1)
+             for ps, ips in tw]
+
+    def stack(field):
+        return jax.device_put(
+            np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
+
+    def stack_tup(field):
+        return tuple(
+            jax.device_put(
+                np.stack([np.asarray(getattr(pl_, field)[i])
+                          for pl_ in plans]))
+            for i in range(4))
+
+    return MergeDistMXU(
+        template=plan_to_device(plans[0]),
+        fwd_left=stack("fwd_left"),
+        fwd_left_corr=stack("fwd_left_corr"),
+        w_fwd=stack_tup("w_fwd"),
+        inv_left=stack("inv_left"),
+        inv_left_corr=stack("inv_left_corr"),
+        w_inv=stack_tup("w_inv"),
+    )
+
+
+def _merge_dist_mxu(plan: MergePlan, sp: int):
+    """Cache the stacked plans on the originating parameter object."""
+    p = plan.params
+    if p is None:
+        return _build_merge_dist_mxu(plan, sp)
+    cache = getattr(p, "_merge_dist_mxu_cache", None)
+    if cache is None:
+        cache = {}
+        p._merge_dist_mxu_cache = cache
+    key = (sp, plan.reduction_poly)
+    if key not in cache:
+        cache[key] = _build_merge_dist_mxu(plan, sp)
+    return cache[key]
+
+
+def _local_tail_mxu(x, mxu: MergeDistMXU, rank, inverse: bool,
+                    interpret: bool):
+    """Shard-local transform as two digit matmuls, tables rank-gathered."""
+    from ..ops.pallas_mxu import pallas_mxu_u64
+
+    def idx(a):
+        return jax.lax.dynamic_index_in_dim(a, rank, 0, keepdims=False)
+
+    if inverse:
+        sub = dataclasses.replace(
+            mxu.template,
+            inv_left=idx(mxu.inv_left),
+            inv_left_corr=idx(mxu.inv_left_corr),
+            w_inv=tuple(idx(a) for a in mxu.w_inv),
+        )
+    else:
+        sub = dataclasses.replace(
+            mxu.template,
+            fwd_left=idx(mxu.fwd_left),
+            fwd_left_corr=idx(mxu.fwd_left_corr),
+            w_fwd=tuple(idx(a) for a in mxu.w_fwd),
+        )
+    return pallas_mxu_u64(x, sub, inverse=inverse, interpret=interpret)
 
 
 def _cross_stage_fwd(x, w, ws, is_u, dist: int, sp: int, ops):
@@ -133,7 +255,8 @@ def _cross_w(plan: MergePlan, table, shoup, s: int, logsp: int, rank,
     return w, ws
 
 
-def _shard_fwd(x, plan: MergePlan, sp: int, xnp: bool):
+def _shard_fwd(x, plan: MergePlan, sp: int, xnp: bool, mxu=None,
+               interpret=False):
     logsp = sp.bit_length() - 1
     rank = jax.lax.axis_index("sp")
     ops = plan.ops()
@@ -143,16 +266,22 @@ def _shard_fwd(x, plan: MergePlan, sp: int, xnp: bool):
         w, ws = _cross_w(plan, plan.fwd_table, plan.fwd_shoup, s, logsp,
                          rank, xnp)
         x = _cross_stage_fwd(x, w, ws, is_u, dist, sp, ops)
+    if mxu is not None:
+        return _local_tail_mxu(x, mxu, rank, False, interpret)
     return _local_ct(x, plan.fwd_table, plan.fwd_shoup, ops, logsp,
                      plan.logn, logsp, rank, xnp)
 
 
-def _shard_inv(x, plan: MergePlan, sp: int, xnp: bool, scale: bool):
+def _shard_inv(x, plan: MergePlan, sp: int, xnp: bool, scale: bool,
+               mxu=None, interpret=False):
     logsp = sp.bit_length() - 1
     rank = jax.lax.axis_index("sp")
     ops = plan.ops()
-    x = _local_gs(x, plan.inv_table, plan.inv_shoup, ops, logsp,
-                  plan.logn, logsp, rank, xnp)
+    if mxu is not None:
+        x = _local_tail_mxu(x, mxu, rank, True, interpret)
+    else:
+        x = _local_gs(x, plan.inv_table, plan.inv_shoup, ops, logsp,
+                      plan.logn, logsp, rank, xnp)
     for s in range(logsp - 1, -1, -1):
         dist = sp >> (s + 1)
         is_u = (rank // dist) % 2 == 0
@@ -164,28 +293,45 @@ def _shard_inv(x, plan: MergePlan, sp: int, xnp: bool, scale: bool):
     return x
 
 
-def dist_merge_ntt(x, plan: MergePlan, mesh: Mesh):
+def _resolve_mxu(plan: MergePlan, sp: int, local_engine):
+    if local_engine == "xla":
+        return None
+    if local_engine == "mxu":
+        return _merge_dist_mxu(plan, sp)
+    if jax.default_backend() == "tpu":
+        return _merge_dist_mxu(plan, sp)
+    return None
+
+
+def dist_merge_ntt(x, plan: MergePlan, mesh: Mesh,
+                   local_engine: str | None = None, interpret: bool = False):
     """Forward merge NTT with the coefficient axis sharded over 'sp'.
 
     x: lane representation of (batch, N) with N sharded P(None, 'sp')
-    (and batch optionally over 'dp').  Bit-identical to merge_ntt_lanes."""
+    (and batch optionally over 'dp').  Bit-identical to merge_ntt_lanes.
+    local_engine: 'xla' | 'mxu' | None (auto: MXU on TPU where eligible)."""
     sp = mesh.shape["sp"]
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
+    mxu = _resolve_mxu(plan, sp, local_engine)
     spec = P("dp", "sp") if "dp" in mesh.shape else P(None, "sp")
     f = jax.shard_map(
-        partial(_shard_fwd, plan=plan, sp=sp, xnp=xnp),
+        partial(_shard_fwd, plan=plan, sp=sp, xnp=xnp, mxu=mxu,
+                interpret=interpret),
         mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False,
     )
     return f(x)
 
 
-def dist_merge_intt(x, plan: MergePlan, mesh: Mesh, scale: bool = True):
+def dist_merge_intt(x, plan: MergePlan, mesh: Mesh, scale: bool = True,
+                    local_engine: str | None = None, interpret: bool = False):
     """Inverse merge NTT (GS), coefficient-sharded; n^-1 fused last."""
     sp = mesh.shape["sp"]
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
+    mxu = _resolve_mxu(plan, sp, local_engine)
     spec = P("dp", "sp") if "dp" in mesh.shape else P(None, "sp")
     f = jax.shard_map(
-        partial(_shard_inv, plan=plan, sp=sp, xnp=xnp, scale=scale),
+        partial(_shard_inv, plan=plan, sp=sp, xnp=xnp, scale=scale, mxu=mxu,
+                interpret=interpret),
         mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False,
     )
     return f(x)

@@ -61,3 +61,36 @@ def test_dist_merge_sp1_degenerate(rng):
     exp = from_lanes(jax.jit(
         lambda v: merge_ntt_lanes(v, plan))(to_lanes(x, True)), True)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_dist_merge_mxu_local_tails_bit_exact(rng):
+    """MXU local tails (per-shard from_eval plans: Omega = root^sp,
+    Psi_r from the table-subtree identity) are bit-identical to the XLA
+    stage sweeps for both reduction polynomials, both directions."""
+    from gpuntt_tpu.parallel.merge_dist import _merge_dist_mxu
+
+    for poly in (ReductionPolynomial.X_N_plus, ReductionPolynomial.X_N_minus):
+        p = NTTParameters(15, poly, dtype=np.uint64)
+        plan = MergePlan.from_params(p)
+        mesh = make_mesh(dp=1, sp=8)
+        assert _merge_dist_mxu(plan, 8) is not None   # local 2^12 eligible
+        batch = 2
+        x = rng.integers(0, p.modulus.value, size=(batch, p.n),
+                         dtype=np.uint64)
+        sh = NamedSharding(mesh, P(None, "sp"))
+        lanes = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), to_lanes(x, True))
+        ref = dist_merge_ntt(lanes, plan, mesh, local_engine="xla")
+        got = dist_merge_ntt(lanes, plan, mesh, local_engine="mxu",
+                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.hi), np.asarray(ref.hi))
+        np.testing.assert_array_equal(np.asarray(got.lo), np.asarray(ref.lo))
+
+        back_ref = dist_merge_intt(ref, plan, mesh, local_engine="xla")
+        back_got = dist_merge_intt(ref, plan, mesh, local_engine="mxu",
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(back_got.hi),
+                                      np.asarray(back_ref.hi))
+        np.testing.assert_array_equal(np.asarray(back_got.lo),
+                                      np.asarray(back_ref.lo))
+        np.testing.assert_array_equal(from_lanes(back_got, True), x)
