@@ -19,8 +19,18 @@ def _run(script, *args, env_extra=None):
     env.pop("PYTEST_CURRENT_TEST", None)
     if env_extra:
         env.update(env_extra)
+    # The dev box's TPU plugin overrides JAX_PLATFORMS, so the env var
+    # alone does not keep subprocesses off the (slow, contended) relay;
+    # force the backend through jax.config before the script runs.
+    boot = (
+        "import sys, runpy, jax;"
+        "jax.config.update('jax_platforms', 'cpu');"
+        "sys.argv = sys.argv[1:];"
+        "runpy.run_path(sys.argv[0], run_name='__main__')"
+    )
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        [sys.executable, "-c", boot,
+         os.path.join(REPO, "examples", script), *args],
         capture_output=True, text=True, timeout=300, env=env,
     )
     assert r.returncode == 0, r.stdout + r.stderr

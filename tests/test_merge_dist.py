@@ -63,34 +63,36 @@ def test_dist_merge_sp1_degenerate(rng):
     np.testing.assert_array_equal(got, exp)
 
 
-def test_dist_merge_mxu_local_tails_bit_exact(rng):
+def test_dist_merge_mxu_local_tails_bit_exact(rng, monkeypatch):
     """MXU local tails (per-shard from_eval plans: Omega = root^sp,
     Psi_r from the table-subtree identity) are bit-identical to the XLA
-    stage sweeps for both reduction polynomials, both directions."""
+    stage sweeps for both reduction polynomials, both directions.  The
+    eligibility floor is lowered so a small ring exercises all four
+    shard twists quickly (bit-exactness is size-independent; production
+    sizes are driven on real hardware by the verify recipe)."""
+    from gpuntt_tpu.parallel import merge_dist as md
     from gpuntt_tpu.parallel.merge_dist import _merge_dist_mxu
 
+    monkeypatch.setattr(md, "MXU_LOCAL_MIN_LOGN", 8)
     for poly in (ReductionPolynomial.X_N_plus, ReductionPolynomial.X_N_minus):
-        p = NTTParameters(15, poly, dtype=np.uint64)
+        p = NTTParameters(11, poly, dtype=np.uint64)
         plan = MergePlan.from_params(p)
-        mesh = make_mesh(dp=1, sp=8)
-        assert _merge_dist_mxu(plan, 8) is not None   # local 2^12 eligible
-        batch = 2
+        mesh = make_mesh(dp=2, sp=4)
+        assert _merge_dist_mxu(plan, 4) is not None   # local 2^9 eligible
+        batch = 4
         x = rng.integers(0, p.modulus.value, size=(batch, p.n),
                          dtype=np.uint64)
         sh = NamedSharding(mesh, P(None, "sp"))
         lanes = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, sh), to_lanes(x, True))
-        ref = dist_merge_ntt(lanes, plan, mesh, local_engine="xla")
+        # reference is the single-chip engine: the XLA-local dist path is
+        # already asserted equal to it by test_dist_merge_parity (and its
+        # compile at any size is minutes on CPU, so avoid it here)
+        exp = from_lanes(merge_ntt_lanes(to_lanes(x, True), plan), True)
         got = dist_merge_ntt(lanes, plan, mesh, local_engine="mxu",
                              interpret=True)
-        np.testing.assert_array_equal(np.asarray(got.hi), np.asarray(ref.hi))
-        np.testing.assert_array_equal(np.asarray(got.lo), np.asarray(ref.lo))
+        np.testing.assert_array_equal(from_lanes(got, True), exp)
 
-        back_ref = dist_merge_intt(ref, plan, mesh, local_engine="xla")
-        back_got = dist_merge_intt(ref, plan, mesh, local_engine="mxu",
+        back_got = dist_merge_intt(got, plan, mesh, local_engine="mxu",
                                    interpret=True)
-        np.testing.assert_array_equal(np.asarray(back_got.hi),
-                                      np.asarray(back_ref.hi))
-        np.testing.assert_array_equal(np.asarray(back_got.lo),
-                                      np.asarray(back_ref.lo))
         np.testing.assert_array_equal(from_lanes(back_got, True), x)
