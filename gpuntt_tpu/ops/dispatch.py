@@ -290,13 +290,34 @@ def _merge_plan_cached(params):
     return mp
 
 
+def _mxu_rns_plan_cached(plan):
+    """Single-kernel stacked-table plan, cached on the first member."""
+    from .pallas_mxu_rns import MXURNSPlan
+
+    host = plan.members[0]
+    cache = getattr(host, "_mxu_rns_cache", None)
+    if cache is None:
+        cache = {}
+        host._mxu_rns_cache = cache
+    key = (plan.logn, plan.qs, plan.reduction_poly)
+    if key not in cache:
+        try:
+            cache[key] = MXURNSPlan.from_members(plan.members)
+        except ValueError:
+            cache[key] = None
+    return cache[key]
+
+
 def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
-    """Per-modulus MXU transforms for RNS batches on TPU.
+    """MXU transforms for RNS batches on TPU.
 
     The reference's RNS kernels are the single-modulus kernels with a
-    per-batch table offset (ntt.cu:3135); here each modulus group takes
-    the MXU digit-matmul path with its own plan.  Returns None when
-    ineligible (non-TPU, u32, out-of-range logn, wide moduli)."""
+    per-batch table offset (ntt.cu:3135).  In the in-VMEM range the
+    whole schedule runs as ONE kernel whose per-batch tables are
+    gathered by scalar-prefetch BlockSpecs (pallas_mxu_rns.py);
+    large rings split the batch per modulus through the large-ring
+    engines.  Returns None when ineligible (non-TPU, u32, out-of-range
+    logn, wide moduli) — callers fall back to the XLA RNS engine."""
     import jax as _jax
 
     if (_jax.default_backend() != "tpu" or not plan.is64
@@ -305,6 +326,14 @@ def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
             or any(q >= (1 << 60) for q in plan.qs)):
         return None
     x = np.asarray(x)
+    if plan.logn <= 17:
+        rplan = _mxu_rns_plan_cached(plan)
+        if rplan is not None:
+            from .pallas_mxu_rns import pallas_mxu_rns_u64
+
+            lanes = to_lanes(x, True)
+            out = pallas_mxu_rns_u64(lanes, rplan, mod_idx, inverse=inverse)
+            return from_lanes(out, True).astype(x.dtype)
     out = np.empty_like(x)
     for m in range(plan.mod_count):
         sel = np.nonzero(mod_idx == m)[0]

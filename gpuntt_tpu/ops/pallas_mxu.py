@@ -351,6 +351,13 @@ def mxu_plan(params: NTTParameters) -> MXUMergePlan:
 # ---------------------------------------------------------------- kernel
 
 
+def _cu64(v) -> U64:
+    """Constant accessor: consts entries may be Python ints (classic
+    single-modulus plans) or already-built U64 scalars (per-modulus
+    constants read from an SMEM block in the RNS kernel)."""
+    return v if isinstance(v, U64) else bo.u64_const(v)
+
+
 def _offset_digits(x, nd: int = ND):
     """u64 pair (or bare uint32 array, nd <= 4) -> nd int8 planes of
     (byte - 128)."""
@@ -380,9 +387,9 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
     out_shape = ((t_ref.shape[1], xa.shape[1]) if left
                  else (xa.shape[0], t_ref.shape[2]))
 
-    qc = bo.u64_const(consts["q"])
-    r40c = bo.u64_const(consts["r40"])
-    r40sc = bo.u64_const(consts["r40s"])
+    qc = _cu64(consts["q"])
+    r40c = _cu64(consts["r40"])
+    r40sc = _cu64(consts["r40s"])
 
     groups = []
     g = None
@@ -412,13 +419,16 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
     s = groups[-1]
     for gi in range(len(groups) - 2, -1, -1):
         s = u64_add(bo.shoup_mul64_lazy(s, r40c, r40sc, qc), groups[gi])
-    s = u64_add(s, bo.u64_const(consts["cadd"]))
+    s = u64_add(s, _cu64(consts["cadd"]))
     return s
 
 
 def _canon(s: U64, consts) -> U64:
-    for m in consts["chain"]:
-        s = bo.cond_sub64(s, bo.u64_const(m * consts["q"]))
+    cc = consts.get("chain_c")
+    if cc is None:
+        cc = [m * consts["q"] for m in consts["chain"]]
+    for c in cc:
+        s = bo.cond_sub64(s, _cu64(c))
     return s
 
 
@@ -426,7 +436,7 @@ def _w_mul_lazy(x: U64, w_refs, consts) -> U64:
     whi, wlo, wshi, wslo = w_refs
     return bo.shoup_mul64_lazy(
         x, U64(whi[...], wlo[...]), U64(wshi[...], wslo[...]),
-        bo.u64_const(consts["q"]))
+        _cu64(consts["q"]))
 
 
 def _fwd_kernel(lh, lcorr, rh, rcorr, wh, wl, wsh, wsl, xh, xl, oh, ol,

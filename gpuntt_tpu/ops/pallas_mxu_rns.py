@@ -1,0 +1,194 @@
+"""Single-kernel RNS merge NTT on the MXU — per-batch modulus gather.
+
+The reference's RNS kernels are the single-modulus kernels plus a
+per-batch table offset `mod_index << N_power` (ntt.cu:3135, with the
+ordered variants reading `order[...]` for the index, ntt.cu:3600-4459).
+The TPU rendition keeps that structure but makes the gather part of the
+DMA pipeline: every per-modulus table of the digit-matmul engine
+(pallas_mxu.py) is stacked on a leading (mod_count,) axis, the batch's
+modulus schedule rides in as a SCALAR-PREFETCH operand, and each grid
+step's BlockSpec index_map picks the right table block with
+`mod_idx[i]` — so Mosaic streams the correct modulus' tables into VMEM
+ahead of each polynomial with zero gather work in the kernel body.
+
+Per-modulus scalar constants (q, the radix-2^40 Horner companions, the
+OFF-cancelling constant, and the canonicalisation chain) ride in a
+small SMEM block indexed the same way; the shared phase helpers accept
+them as traced U64 scalars (`_cu64`).
+
+One kernel therefore serves plain cyclic RNS (mod_idx = b % mod_count),
+GPU_NTT_Modulus_Ordered (mod_idx = order[b % len(order)]) and any other
+static schedule, replacing the host-side per-modulus batch split with a
+single jittable call.  Outputs are bit-identical to rns_ntt_lanes /
+rns_intt_lanes.  u64 only, q < 2^60, logn 12..17 (the in-VMEM range).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limb import U64
+from .pallas_mxu import (MXUMergePlan, ND, NDIAG, _canon, _modmat_phase,
+                         _w_mul_lazy)
+
+N_FIXED = 4  # q, r40, r40s, cadd rows before the chain rows
+
+
+@dataclass(frozen=True)
+class MXURNSPlan:
+    """Stacked per-modulus digit tables + SMEM constant rows."""
+
+    logn: int
+    A: int
+    B: int
+    mod_count: int
+    chain_len: int
+    fwd_left: Any        # (mc, ND, A, A) int8
+    fwd_left_corr: Any   # (mc, NDIAG, A, 1) int32
+    fwd_right: Any
+    fwd_right_corr: Any
+    w_fwd: Any           # 4 x (mc, A, B) uint32
+    inv_right: Any
+    inv_right_corr: Any
+    inv_left: Any
+    inv_left_corr: Any
+    w_inv: Any
+    consts: Any          # (mc, N_FIXED + chain_len, 2) uint32 (hi, lo)
+
+    @staticmethod
+    def from_members(members) -> "MXURNSPlan":
+        """Build from the per-modulus NTTParameters of an RNSMergePlan.
+
+        Raises ValueError when any member is outside the MXU envelope
+        or the members disagree on shapes/chain length (dispatch falls
+        back to the per-modulus host split, then the XLA engine)."""
+        plans = [MXUMergePlan.from_params(p) for p in members]
+        p0 = plans[0]
+        if any(pl_.A != p0.A or pl_.B != p0.B for pl_ in plans):
+            raise ValueError("RNS members must share the (A, B) split")
+        if any(len(pl_.canon_chain) != len(p0.canon_chain) for pl_ in plans):
+            raise ValueError("RNS members must share the canon chain length")
+        L = len(p0.canon_chain)
+
+        def stack(field):
+            return np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans])
+
+        def stack_w(field):
+            return tuple(
+                np.stack([np.asarray(getattr(pl_, field)[i]) for pl_ in plans])
+                for i in range(4))
+
+        consts = np.zeros((len(plans), N_FIXED + L, 2), dtype=np.uint32)
+        for m, pl_ in enumerate(plans):
+            rows = [pl_.q, pl_.r40, pl_.r40s, pl_.cadd]
+            rows += [c * pl_.q for c in pl_.canon_chain]
+            for k, v in enumerate(rows):
+                consts[m, k, 0] = (v >> 32) & 0xFFFFFFFF
+                consts[m, k, 1] = v & 0xFFFFFFFF
+
+        dev = jax.device_put
+        return MXURNSPlan(
+            logn=p0.logn, A=p0.A, B=p0.B, mod_count=len(plans), chain_len=L,
+            fwd_left=dev(stack("fwd_left")),
+            fwd_left_corr=dev(stack("fwd_left_corr")),
+            fwd_right=dev(stack("fwd_right")),
+            fwd_right_corr=dev(stack("fwd_right_corr")),
+            w_fwd=tuple(dev(a) for a in stack_w("w_fwd")),
+            inv_right=dev(stack("inv_right")),
+            inv_right_corr=dev(stack("inv_right_corr")),
+            inv_left=dev(stack("inv_left")),
+            inv_left_corr=dev(stack("inv_left_corr")),
+            w_inv=tuple(dev(a) for a in stack_w("w_inv")),
+            consts=dev(consts),
+        )
+
+
+def _consts_from_ref(cr, chain_len: int) -> dict:
+    def g(k):
+        return U64(cr[0, k, 0], cr[0, k, 1])
+
+    return dict(q=g(0), r40=g(1), r40s=g(2), cadd=g(3),
+                chain_c=[g(N_FIXED + i) for i in range(chain_len)])
+
+
+def _rns_fwd_kernel(midx, lh, lcorr, rh, rcorr, wh, wl, wsh, wsl, cr,
+                    xh, xl, oh, ol, *, chain_len):
+    consts = _consts_from_ref(cr, chain_len)
+    x = U64(xh[0], xl[0])
+    y = _modmat_phase(x, lh[0], lcorr[0], True, consts)
+    y = _w_mul_lazy(y, (wh[0], wl[0], wsh[0], wsl[0]), consts)
+    z = _modmat_phase(y, rh[0], rcorr[0], False, consts)
+    z = _canon(z, consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _rns_inv_kernel(midx, rh, rcorr, lh, lcorr, wh, wl, wsh, wsl, cr,
+                    xh, xl, oh, ol, *, chain_len):
+    consts = _consts_from_ref(cr, chain_len)
+    x = U64(xh[0], xl[0])
+    y = _modmat_phase(x, rh[0], rcorr[0], False, consts)
+    y = _w_mul_lazy(y, (wh[0], wl[0], wsh[0], wsl[0]), consts)
+    z = _modmat_phase(y, lh[0], lcorr[0], True, consts)
+    z = _canon(z, consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def pallas_mxu_rns_u64(x: U64, plan: MXURNSPlan, mod_idx,
+                       inverse: bool = False,
+                       interpret: bool = False) -> U64:
+    """RNS forward/inverse merge NTT on (batch, N) u64 lane pairs.
+
+    mod_idx: (batch,) int32 modulus schedule (host array or jnp); rides
+    as a scalar-prefetch operand so the per-batch table gather is part
+    of the DMA pipeline."""
+    import functools
+
+    batch, n = x.hi.shape
+    A, B, L = plan.A, plan.B, plan.chain_len
+    mod_idx = jnp.asarray(mod_idx, dtype=jnp.int32)
+
+    if inverse:
+        kernel = _rns_inv_kernel
+        tabs = [plan.inv_right, plan.inv_right_corr,
+                plan.inv_left, plan.inv_left_corr, *plan.w_inv]
+    else:
+        kernel = _rns_fwd_kernel
+        tabs = [plan.fwd_left, plan.fwd_left_corr,
+                plan.fwd_right, plan.fwd_right_corr, *plan.w_fwd]
+
+    def msel(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            (1,) + a.shape[1:],
+            lambda i, m, _nd=nd: (m[i],) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM)
+
+    cspec = pl.BlockSpec((1, N_FIXED + L, 2), lambda i, m: (m[i], 0, 0),
+                         memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((1, A, B), lambda i, m: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch,),
+        in_specs=[*[msel(t) for t in tabs], cspec, blk, blk],
+        out_specs=(blk, blk),
+    )
+    oh, ol = pl.pallas_call(
+        functools.partial(kernel, chain_len=L),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(mod_idx, *tabs, plan.consts,
+      x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+    return U64(oh.reshape(batch, n), ol.reshape(batch, n))
