@@ -58,6 +58,13 @@ from .ops.dispatch import (
     ntt_rns,
 )
 from .ops.rns import RNSMergePlan
+from .ops.fourstep_rns import (
+    RNSFourStepPlan,
+    rns_fourstep_intt_full,
+    rns_fourstep_intt_lanes,
+    rns_fourstep_ntt_full,
+    rns_fourstep_ntt_lanes,
+)
 
 __version__ = "0.1.0"
 
@@ -105,4 +112,9 @@ __all__ = [
     "ntt_poly_ordered",
     "ntt_rns",
     "RNSMergePlan",
+    "RNSFourStepPlan",
+    "rns_fourstep_ntt_lanes",
+    "rns_fourstep_intt_lanes",
+    "rns_fourstep_ntt_full",
+    "rns_fourstep_intt_full",
 ]

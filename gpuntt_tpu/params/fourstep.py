@@ -89,6 +89,7 @@ class NTTParameters4Step:
         logn: int,
         poly_reduction: ReductionPolynomial = ReductionPolynomial.X_N_minus,
         dtype=np.uint64,
+        factors=None,
     ):
         self.logn = int(logn)
         self.n = 1 << self.logn
@@ -97,7 +98,13 @@ class NTTParameters4Step:
         bits = _dtype_bits(dtype)
 
         custom_assert(12 <= self.logn <= 24, "LOGN should be in range 12 to 24.")
-        if bits == 32:
+        if factors is not None:
+            # caller-supplied NTTFactors{modulus, omega, psi}
+            # (nttparameters.cuh:38-54) — the RNS 4-step members use this
+            self.modulus = factors.modulus
+            self.omega = factors.omega
+            self.psi = factors.psi
+        elif bits == 32:
             self.modulus: Modulus = Modulus32(_PRIMES_32[self.logn - 12])
             self.omega = _W_32[self.logn - 12]
             self.psi = _PSI_32[self.logn - 12]
