@@ -290,19 +290,20 @@ def _merge_plan_cached(params):
     return mp
 
 
-def _mxu_rns_plan_cached(plan):
+def _mxu_rns_plan_cached(plan, large: bool):
     """Single-kernel stacked-table plan, cached on the first member."""
-    from .pallas_mxu_rns import MXURNSPlan
+    from .pallas_mxu_rns import MXULargeRNSPlan, MXURNSPlan
 
     host = plan.members[0]
     cache = getattr(host, "_mxu_rns_cache", None)
     if cache is None:
         cache = {}
         host._mxu_rns_cache = cache
-    key = (plan.logn, plan.qs, plan.reduction_poly)
+    key = (plan.logn, plan.qs, plan.reduction_poly, large)
     if key not in cache:
+        builder = (MXULargeRNSPlan if large else MXURNSPlan).from_members
         try:
-            cache[key] = MXURNSPlan.from_members(plan.members)
+            cache[key] = builder(plan.members)
         except ValueError:
             cache[key] = None
     return cache[key]
@@ -326,14 +327,16 @@ def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
             or any(q >= (1 << 60) for q in plan.qs)):
         return None
     x = np.asarray(x)
-    if plan.logn <= 17:
-        rplan = _mxu_rns_plan_cached(plan)
-        if rplan is not None:
-            from .pallas_mxu_rns import pallas_mxu_rns_u64
+    large = plan.logn > 17
+    rplan = _mxu_rns_plan_cached(plan, large)
+    if rplan is not None:
+        from .pallas_mxu_rns import (pallas_mxu_large_rns_u64,
+                                     pallas_mxu_rns_u64)
 
-            lanes = to_lanes(x, True)
-            out = pallas_mxu_rns_u64(lanes, rplan, mod_idx, inverse=inverse)
-            return from_lanes(out, True).astype(x.dtype)
+        fn = pallas_mxu_large_rns_u64 if large else pallas_mxu_rns_u64
+        lanes = to_lanes(x, True)
+        out = fn(lanes, rplan, mod_idx, inverse=inverse)
+        return from_lanes(out, True).astype(x.dtype)
     out = np.empty_like(x)
     for m in range(plan.mod_count):
         sel = np.nonzero(mod_idx == m)[0]

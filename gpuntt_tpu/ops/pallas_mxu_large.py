@@ -78,7 +78,8 @@ class MXULargePlan:
     canon_chain: tuple = ()
 
     @staticmethod
-    def from_params(p: NTTParameters, a_col: int | None = None) -> "MXULargePlan":
+    def from_params(p: NTTParameters, a_col: int | None = None,
+                    tile: int | None = None) -> "MXULargePlan":
         q = p.modulus.value
         if q >= 1 << 60:
             raise ValueError("MXU path requires q < 2^60")
@@ -105,8 +106,11 @@ class MXULargePlan:
         assert 1 <= logB <= 17, "row transform must fit the in-VMEM kernel"
         # column tile scales inversely with A: the kernel's VMEM stack is
         # proportional to A*T (the inverse variant at A=512, T=512
-        # measured 20.9M against the 16M scoped limit)
-        tile = min(B, max(128, (1 << 17) // A))
+        # measured 20.9M against the 16M scoped limit); the RNS wrapper
+        # passes a smaller tile (its table blocks are double-buffered)
+        if tile is None:
+            tile = min(B, max(128, (1 << 17) // A))
+        tile = min(tile, B)
         xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
         r, ri = p.root_of_unity, p.inverse_root_of_unity
         brA = [bitreverse(a, logA) for a in range(A)]

@@ -69,7 +69,13 @@ class MXURNSPlan:
         Raises ValueError when any member is outside the MXU envelope
         or the members disagree on shapes/chain length (dispatch falls
         back to the per-modulus host split, then the XLA engine)."""
-        plans = [MXUMergePlan.from_params(p) for p in members]
+        return MXURNSPlan.from_plans(
+            [MXUMergePlan.from_params(p) for p in members])
+
+    @staticmethod
+    def from_plans(plans) -> "MXURNSPlan":
+        """Stack already-built per-modulus MXUMergePlans (used directly
+        by the large-ring RNS path for its nested row sub-plans)."""
         p0 = plans[0]
         if any(pl_.A != p0.A or pl_.B != p0.B for pl_ in plans):
             raise ValueError("RNS members must share the (A, B) split")
@@ -192,3 +198,260 @@ def pallas_mxu_rns_u64(x: U64, plan: MXURNSPlan, mod_idx,
     )(mod_idx, *tabs, plan.consts,
       x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
     return U64(oh.reshape(batch, n), ol.reshape(batch, n))
+
+
+# ---------------------------------------------------- large rings (18-23)
+#
+# The large-ring composition (pallas_mxu_large.py) is a column-phase
+# kernel plus a row transform.  For RNS batches both phases gather their
+# per-modulus tables the same way as the in-VMEM kernel above: the
+# column kernel's BlockSpecs index the stacked tables with the
+# prefetched schedule, and the rows reuse pallas_mxu_rns_u64 (nested
+# sub-plans, B > 512) or a stacked right-matmul kernel (B <= 512) with
+# the schedule repeated A times (row r of the (batch*A, B) view belongs
+# to polynomial r // A).
+
+
+@dataclass(frozen=True)
+class MXULargeRNSPlan:
+    """Stacked per-modulus large-ring tables."""
+
+    logn: int
+    A: int
+    B: int
+    tile: int
+    mod_count: int
+    chain_len: int
+    col_fwd: Any         # (mc, ND, A, A)
+    col_fwd_corr: Any
+    wt_fwd: Any          # 4 x (mc, A, T)
+    ws_fwd: Any          # 4 x (mc, B//T, A, 1)
+    col_inv: Any
+    col_inv_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+    consts: Any          # (mc, N_FIXED + chain_len, 2)
+    row_rns: Any = None      # MXURNSPlan for nested rows (B > 512)
+    row_fwd: Any = None      # (mc, ND, B, B) single-matmul rows (B <= 512)
+    row_fwd_corr: Any = None
+    row_inv: Any = None
+    row_inv_corr: Any = None
+
+    @staticmethod
+    def from_members(members) -> "MXULargeRNSPlan":
+        from .pallas_mxu_large import MXULargePlan
+
+        # generic column split (A = 128 except beyond-2^23 widening):
+        # the logn-18 single-modulus balanced split (A = 512) blows the
+        # RNS kernel's VMEM budget, since stacked table blocks are
+        # double-buffered when their index varies with the grid
+        # (measured 20.4M > 16M)
+        plans = [MXULargePlan.from_params(
+            p, a_col=(a := max(128, p.n >> 16)),
+            tile=max(128, (1 << 16) // a)) for p in members]
+        p0 = plans[0]
+        if any((pl_.A, pl_.B, pl_.tile) != (p0.A, p0.B, p0.tile)
+               for pl_ in plans):
+            raise ValueError("RNS members must share the large-ring split")
+        if any(len(pl_.canon_chain) != len(p0.canon_chain) for pl_ in plans):
+            raise ValueError("RNS members must share the canon chain length")
+        L = len(p0.canon_chain)
+
+        def stack(field):
+            return jax.device_put(
+                np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
+
+        def stack_w(field):
+            return tuple(
+                jax.device_put(np.stack(
+                    [np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
+                for i in range(4))
+
+        consts = np.zeros((len(plans), N_FIXED + L, 2), dtype=np.uint32)
+        for m, pl_ in enumerate(plans):
+            rows = [pl_.q, pl_.r40, pl_.r40s, pl_.cadd]
+            rows += [c * pl_.q for c in pl_.canon_chain]
+            for k, v in enumerate(rows):
+                consts[m, k, 0] = (v >> 32) & 0xFFFFFFFF
+                consts[m, k, 1] = v & 0xFFFFFFFF
+
+        kw: dict = {}
+        if p0.row_plan is not None:
+            kw = dict(row_rns=MXURNSPlan.from_plans(
+                [pl_.row_plan for pl_ in plans]))
+        else:
+            kw = dict(row_fwd=stack("row_fwd"),
+                      row_fwd_corr=stack("row_fwd_corr"),
+                      row_inv=stack("row_inv"),
+                      row_inv_corr=stack("row_inv_corr"))
+
+        return MXULargeRNSPlan(
+            logn=p0.logn, A=p0.A, B=p0.B, tile=p0.tile,
+            mod_count=len(plans), chain_len=L,
+            col_fwd=stack("col_fwd"), col_fwd_corr=stack("col_fwd_corr"),
+            wt_fwd=stack_w("wt_fwd"), ws_fwd=stack_w("ws_fwd"),
+            col_inv=stack("col_inv"), col_inv_corr=stack("col_inv_corr"),
+            wt_inv=stack_w("wt_inv"), ws_inv=stack_w("ws_inv"),
+            consts=jax.device_put(consts), **kw,
+        )
+
+
+def _w_tiled_mul_rns(y: U64, wt, ws, consts) -> U64:
+    from . import barrett as bo
+
+    qc = consts["q"]
+    y = bo.shoup_mul64_lazy(y, U64(wt[0], wt[1]), U64(wt[2], wt[3]), qc)
+    return bo.shoup_mul64_lazy(y, U64(ws[0][0], ws[1][0]),
+                               U64(ws[2][0], ws[3][0]), qc)
+
+
+def _rns_colfwd_kernel(midx, md, mc, wth, wtl, wtsh, wtsl,
+                       wsh_, wsl_, wssh, wssl, cr, xh, xl, oh, ol,
+                       *, chain_len):
+    consts = _consts_from_ref(cr, chain_len)
+    x = U64(xh[0], xl[0])
+    y = _modmat_phase(x, md[0], mc[0], True, consts)
+    y = _w_tiled_mul_rns(
+        y, (wth[0], wtl[0], wtsh[0], wtsl[0]),
+        (wsh_[0], wsl_[0], wssh[0], wssl[0]), consts)
+    oh[0] = y.hi
+    ol[0] = y.lo
+
+
+def _rns_colinv_kernel(midx, md, mc, wth, wtl, wtsh, wtsl,
+                       wsh_, wsl_, wssh, wssl, cr, xh, xl, oh, ol,
+                       *, chain_len):
+    consts = _consts_from_ref(cr, chain_len)
+    x = U64(xh[0], xl[0])
+    y = _w_tiled_mul_rns(
+        x, (wth[0], wtl[0], wtsh[0], wtsl[0]),
+        (wsh_[0], wsl_[0], wssh[0], wssl[0]), consts)
+    z = _canon(_modmat_phase(y, md[0], mc[0], True, consts), consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _rns_col_call(x: U64, plan: MXULargeRNSPlan, mod_idx, inverse: bool,
+                  interpret: bool) -> U64:
+    import functools
+
+    batch, n = x.hi.shape
+    A, B, T, L = plan.A, plan.B, plan.tile, plan.chain_len
+    if inverse:
+        kernel = _rns_colinv_kernel
+        md, mc, wt, ws = (plan.col_inv, plan.col_inv_corr,
+                          plan.wt_inv, plan.ws_inv)
+    else:
+        kernel = _rns_colfwd_kernel
+        md, mc, wt, ws = (plan.col_fwd, plan.col_fwd_corr,
+                          plan.wt_fwd, plan.ws_fwd)
+
+    def msel(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            (1,) + a.shape[1:],
+            lambda i, j, m, _nd=nd: (m[i],) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM)
+
+    ws_specs = [pl.BlockSpec((1, 1, A, 1), lambda i, j, m: (m[i], j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws]
+    cspec = pl.BlockSpec((1, N_FIXED + L, 2), lambda i, j, m: (m[i], 0, 0),
+                         memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((1, A, T), lambda i, j, m: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, B // T),
+        in_specs=[msel(md), msel(mc), *[msel(t) for t in wt], *ws_specs,
+                  cspec, blk, blk],
+        out_specs=(blk, blk),
+    )
+    oh, ol = pl.pallas_call(
+        functools.partial(kernel, chain_len=L),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(mod_idx, jnp.int32), md, mc, *wt, *ws, plan.consts,
+      x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+    return U64(oh, ol)
+
+
+def _rns_rowmat_kernel(midx, md, mc, cr, xh, xl, oh, ol, *, chain_len):
+    consts = _consts_from_ref(cr, chain_len)
+    x = U64(xh[0], xl[0])
+    z = _canon(_modmat_phase(x, md[0], mc[0], False, consts), consts)
+    oh[0] = z.hi
+    ol[0] = z.lo
+
+
+def _rns_rowmat_call(x: U64, plan: MXULargeRNSPlan, mod_idx, inverse: bool,
+                     interpret: bool) -> U64:
+    import functools
+
+    batch = x.hi.shape[0]
+    A, B, L = plan.A, plan.B, plan.chain_len
+    md, mc = ((plan.row_inv, plan.row_inv_corr) if inverse
+              else (plan.row_fwd, plan.row_fwd_corr))
+    # smaller row tile than the single-modulus kernel: the stacked table
+    # block is double-buffered here (its index varies with the grid), so
+    # the VMEM budget is tighter (measured 20.4M > 16M with t1 = 256 at
+    # A = B = 512)
+    t1 = min(A, max(8, (1 << 18) // (B * 8)))
+    while A % t1:
+        t1 -= 1
+
+    def msel(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            (1,) + a.shape[1:],
+            lambda i, j, m, _nd=nd: (m[i],) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM)
+
+    cspec = pl.BlockSpec((1, N_FIXED + L, 2), lambda i, j, m: (m[i], 0, 0),
+                         memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((1, t1, B), lambda i, j, m: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, A // t1),
+        in_specs=[msel(md), msel(mc), cspec, blk, blk],
+        out_specs=(blk, blk),
+    )
+    oh, ol = pl.pallas_call(
+        functools.partial(_rns_rowmat_kernel, chain_len=L),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(mod_idx, jnp.int32), md, mc, plan.consts, x.hi, x.lo)
+    return U64(oh, ol)
+
+
+def pallas_mxu_large_rns_u64(x: U64, plan: MXULargeRNSPlan, mod_idx,
+                             inverse: bool = False,
+                             interpret: bool = False) -> U64:
+    """Large-ring RNS merge NTT on (batch, N) u64 pairs, logn 18-23."""
+    batch, n = x.hi.shape
+    A, B = plan.A, plan.B
+    mod_idx = np.asarray(mod_idx)
+    row_idx = np.repeat(mod_idx, A)  # (batch*A,) schedule for the rows
+
+    def rows(y: U64, inv: bool) -> U64:
+        if plan.row_rns is not None:
+            rv = U64(y.hi.reshape(batch * A, B), y.lo.reshape(batch * A, B))
+            z = pallas_mxu_rns_u64(rv, plan.row_rns, row_idx, inverse=inv,
+                                   interpret=interpret)
+            return U64(z.hi.reshape(batch, A, B), z.lo.reshape(batch, A, B))
+        yv = U64(y.hi.reshape(batch, A, B), y.lo.reshape(batch, A, B))
+        return _rns_rowmat_call(yv, plan, mod_idx, inv, interpret)
+
+    if inverse:
+        y = rows(x, True)
+        z = _rns_col_call(U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n)),
+                          plan, mod_idx, inverse=True, interpret=interpret)
+        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+    y = _rns_col_call(x, plan, mod_idx, inverse=False, interpret=interpret)
+    z = rows(U64(y.hi, y.lo), False)
+    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))

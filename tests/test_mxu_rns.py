@@ -71,3 +71,68 @@ def test_rns_mxu_plan_rejects_mixed_splits():
     with pytest.raises(ValueError):
         MXURNSPlan.from_members(
             [a, _member(576460752303439873, 13, poly)])
+
+
+def _is_prime(n):
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _find_primes(logn, count):
+    """NTT-friendly ~2^59 primes q = k*2^(logn+1) + 1."""
+    step = 2 << logn
+    out, k = [], (1 << 59) // step
+    while len(out) < count:
+        q = k * step + 1
+        if _is_prime(q):
+            out.append(q)
+        k += 1
+    return out
+
+
+@pytest.mark.parametrize("logn", [14, 17])
+def test_large_ring_rns_parity(logn, rng):
+    """Large-ring RNS composition (stacked column kernel + rows): logn 14
+    exercises the single-matmul-row branch (B <= 512), logn 17 the
+    nested-row branch (rows through the stacked in-VMEM RNS kernel).
+    Reference: the XLA RNS engine."""
+    from gpuntt_tpu.ops.pallas_mxu_rns import (MXULargeRNSPlan,
+                                               pallas_mxu_large_rns_u64)
+
+    poly = ReductionPolynomial.X_N_plus
+    members = [_member(q, logn, poly) for q in _find_primes(logn, 2)]
+    plan = RNSMergePlan.from_params(members)
+    lplan = MXULargeRNSPlan.from_members(members)
+    assert (lplan.row_rns is None) == (logn == 14)
+    batch = 3
+    mod_idx = np.array([0, 1, 0], dtype=np.int64)
+    qs = np.array(plan.qs, dtype=np.uint64)
+    x = np.stack([rng.integers(0, qs[mod_idx[b]], 1 << logn, dtype=np.uint64)
+                  for b in range(batch)])
+    lanes = to_lanes(x, True)
+
+    exp = from_lanes(rns_ntt_lanes(lanes, plan, mod_idx), True)
+    got = from_lanes(
+        pallas_mxu_large_rns_u64(lanes, lplan, mod_idx, interpret=True), True)
+    np.testing.assert_array_equal(got, exp)
+
+    back = from_lanes(
+        pallas_mxu_large_rns_u64(to_lanes(exp, True), lplan, mod_idx,
+                                 inverse=True, interpret=True), True)
+    np.testing.assert_array_equal(back, x)
