@@ -177,10 +177,41 @@ def _swap_last2(x):
     return _tmap(lambda a: jnp.swapaxes(a, -1, -2), x)
 
 
+def _mxu_rns_route(x, plan: "RNSFourStepPlan", mod_idx, inverse: bool):
+    """Route to the stacked 4-step MXU kernels on TPU (same gate as the
+    single-modulus engine: u64, q < 2^60, logn >= 14)."""
+    import jax as _jax
+
+    if (not plan.is64 or plan.members is None
+            or _jax.default_backend() != "tpu"
+            or any(q >= (1 << 60) for q in plan.qs)
+            or not 14 <= plan.logn <= 23):
+        return None
+    from .pallas_mxu_rns import FourStepRNSMXUPlan, fourstep_mxu_rns_lanes
+
+    host = plan.members[0]
+    cache = getattr(host, "_fourstep_rns_mxu_cache", None)
+    if cache is None:
+        cache = {}
+        host._fourstep_rns_mxu_cache = cache
+    key = (plan.logn, plan.qs)
+    if key not in cache:
+        try:
+            cache[key] = FourStepRNSMXUPlan.from_members(plan.members)
+        except ValueError:
+            cache[key] = None
+    if cache[key] is None:
+        return None
+    return fourstep_mxu_rns_lanes(x, cache[key], mod_idx, inverse=inverse)
+
+
 def rns_fourstep_ntt_lanes(x, plan: RNSFourStepPlan, mod_idx):
     """Forward RNS 4-step on (batch, N) lanes; row b uses modulus
     mod_idx[b].  Input pre-transposed (n2, n1) flat, output (n1, n2)
     flat (GPU_4STEP_NTT convention)."""
+    routed = _mxu_rns_route(x, plan, mod_idx, inverse=False)
+    if routed is not None:
+        return routed
     ops = plan.ops()
     mod_idx = np.asarray(mod_idx)
     batch = jax.tree_util.tree_leaves(x)[0].shape[0]
@@ -202,6 +233,10 @@ def rns_fourstep_intt_lanes(x, plan: RNSFourStepPlan, mod_idx,
                             scale: bool = True):
     """Inverse RNS 4-step; input pre-permuted by intt_first_transpose,
     per-batch n^-1 applied last (reference last-kernel placement)."""
+    if scale:
+        routed = _mxu_rns_route(x, plan, mod_idx, inverse=True)
+        if routed is not None:
+            return routed
     ops = plan.ops()
     mod_idx = np.asarray(mod_idx)
     batch = jax.tree_util.tree_leaves(x)[0].shape[0]

@@ -83,7 +83,8 @@ class FourStepMXUPlan:
     consts: Any = None
 
     @staticmethod
-    def from_params(p: NTTParameters4Step) -> "FourStepMXUPlan":
+    def from_params(p: NTTParameters4Step,
+                    tile: int | None = None) -> "FourStepMXUPlan":
         q = p.modulus.value
         if q >= 1 << 60 or p.dtype != np.uint64:
             raise ValueError("MXU 4-step requires u64 data and q < 2^60")
@@ -112,7 +113,9 @@ class FourStepMXUPlan:
 
         # W factorization: forward W[i, j] = root^(br(i, log1) * j);
         # inverse W[i, j] = iroot^(i * br(j, log2))
-        tile = min(n2, 1024)
+        if tile is None:
+            tile = min(n2, 1024)
+        tile = min(tile, n2)
         logt = tile.bit_length() - 1
         nt = n2 // tile
         fwd_bases = [pow(root, b, q) for b in br1]

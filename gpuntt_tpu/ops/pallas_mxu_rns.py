@@ -455,3 +455,209 @@ def pallas_mxu_large_rns_u64(x: U64, plan: MXULargeRNSPlan, mod_idx,
     y = _rns_col_call(x, plan, mod_idx, inverse=False, interpret=interpret)
     z = rows(U64(y.hi, y.lo), False)
     return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+
+
+# ------------------------------------------------------------ 4-step RNS
+#
+# The same stacking serves the 4-step pipeline (GPU_4STEP_NTT RNS
+# overload): kernel 1 (column NTT as right-matmul + in-VMEM transpose +
+# factored W) gathers per-modulus tables by the prefetched schedule;
+# kernel 2's rows reuse the stacked in-VMEM RNS kernel (nested
+# sub-plans) or a stacked right-matmul (n2 <= 512).
+
+
+@dataclass(frozen=True)
+class FourStepRNSMXUPlan:
+    """Stacked per-modulus 4-step MXU tables."""
+
+    logn: int
+    n1: int
+    n2: int
+    tile: int
+    mod_count: int
+    chain_len: int
+    m1T: Any             # (mc, ND, n1, n1)
+    m1T_corr: Any
+    wt_fwd: Any          # 4 x (mc, n1, T)
+    ws_fwd: Any          # 4 x (mc, n2//T, n1, 1)
+    g1T: Any
+    g1T_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+    consts: Any
+    row_rns: Any = None      # MXURNSPlan (n2 > 512)
+    m2T: Any = None          # (mc, ND, n2, n2) (n2 <= 512)
+    m2T_corr: Any = None
+    g2T: Any = None
+    g2T_corr: Any = None
+
+    @staticmethod
+    def from_members(members) -> "FourStepRNSMXUPlan":
+        from .pallas_mxu_4step import FourStepMXUPlan
+
+        p0m = members[0]
+        tile = max(128, min(p0m.n2, 512))  # halved vs single-mod: stacked
+        plans = [FourStepMXUPlan.from_params(p, tile=tile) for p in members]
+        p0 = plans[0]
+        if any((pl_.n1, pl_.n2, pl_.tile) != (p0.n1, p0.n2, p0.tile)
+               for pl_ in plans):
+            raise ValueError("RNS members must share the n1 x n2 split")
+        chains = [pl_.consts["chain"] for pl_ in plans]
+        if any(len(c) != len(chains[0]) for c in chains):
+            raise ValueError("RNS members must share the canon chain length")
+        L = len(chains[0])
+
+        def stack(field):
+            return jax.device_put(
+                np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
+
+        def stack_w(field):
+            return tuple(
+                jax.device_put(np.stack(
+                    [np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
+                for i in range(4))
+
+        consts = np.zeros((len(plans), N_FIXED + L, 2), dtype=np.uint32)
+        for m, pl_ in enumerate(plans):
+            c = pl_.consts
+            rows = [c["q"], c["r40"], c["r40s"], c["cadd"]]
+            rows += [mm * c["q"] for mm in c["chain"]]
+            for k, v in enumerate(rows):
+                consts[m, k, 0] = (v >> 32) & 0xFFFFFFFF
+                consts[m, k, 1] = v & 0xFFFFFFFF
+
+        kw: dict = {}
+        if p0.row_plan is not None:
+            kw = dict(row_rns=MXURNSPlan.from_plans(
+                [pl_.row_plan for pl_ in plans]))
+        else:
+            kw = dict(m2T=stack("m2T"), m2T_corr=stack("m2T_corr"),
+                      g2T=stack("g2T"), g2T_corr=stack("g2T_corr"))
+
+        return FourStepRNSMXUPlan(
+            logn=p0.logn, n1=p0.n1, n2=p0.n2, tile=p0.tile,
+            mod_count=len(plans), chain_len=L,
+            m1T=stack("m1T"), m1T_corr=stack("m1T_corr"),
+            wt_fwd=stack_w("wt_fwd"), ws_fwd=stack_w("ws_fwd"),
+            g1T=stack("g1T"), g1T_corr=stack("g1T_corr"),
+            wt_inv=stack_w("wt_inv"), ws_inv=stack_w("ws_inv"),
+            consts=jax.device_put(consts), **kw,
+        )
+
+
+def _rns_4step_col_kernel(midx, md, mc, wth, wtl, wtsh, wtsl,
+                          wsh_, wsl_, wssh, wssl, cr, xh, xl, oh, ol,
+                          *, chain_len):
+    consts = _consts_from_ref(cr, chain_len)
+    x = U64(xh[0], xl[0])                                  # (T2, n1)
+    y = _modmat_phase(x, md[0], mc[0], False, consts)      # X @ M1T, lazy
+    y = U64(jnp.swapaxes(y.hi, 0, 1), jnp.swapaxes(y.lo, 0, 1))  # (n1, T2)
+    y = _w_tiled_mul_rns(
+        y, (wth[0], wtl[0], wtsh[0], wtsl[0]),
+        (wsh_[0], wsl_[0], wssh[0], wssl[0]), consts)
+    oh[0] = y.hi
+    ol[0] = y.lo
+
+
+def _rns_4step_col_call(x: U64, plan: FourStepRNSMXUPlan, mod_idx,
+                        inverse: bool, interpret: bool) -> U64:
+    """(batch, n2, n1) -> (batch, n1, n2), per-modulus tables gathered."""
+    import functools
+
+    batch = x.hi.shape[0]
+    n1, n2, T, L = plan.n1, plan.n2, plan.tile, plan.chain_len
+    if inverse:
+        md, mc, wt, ws = plan.g1T, plan.g1T_corr, plan.wt_inv, plan.ws_inv
+    else:
+        md, mc, wt, ws = plan.m1T, plan.m1T_corr, plan.wt_fwd, plan.ws_fwd
+
+    def msel(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            (1,) + a.shape[1:],
+            lambda i, j, m, _nd=nd: (m[i],) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM)
+
+    ws_specs = [pl.BlockSpec((1, 1, n1, 1), lambda i, j, m: (m[i], j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws]
+    cspec = pl.BlockSpec((1, N_FIXED + L, 2), lambda i, j, m: (m[i], 0, 0),
+                         memory_space=pltpu.SMEM)
+    in_blk = pl.BlockSpec((1, T, n1), lambda i, j, m: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, n1, T), lambda i, j, m: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, n2 // T),
+        in_specs=[msel(md), msel(mc), *[msel(t) for t in wt], *ws_specs,
+                  cspec, in_blk, in_blk],
+        out_specs=(out_blk, out_blk),
+    )
+    oh, ol = pl.pallas_call(
+        functools.partial(_rns_4step_col_kernel, chain_len=L),
+        out_shape=(jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(mod_idx, jnp.int32), md, mc, *wt, *ws, plan.consts,
+      x.hi, x.lo)
+    return U64(oh, ol)
+
+
+def _rns_4step_rowmat_call(y: U64, plan: FourStepRNSMXUPlan, mod_idx,
+                           inverse: bool, interpret: bool) -> U64:
+    import functools
+
+    batch = y.hi.shape[0]
+    n1, n2, L = plan.n1, plan.n2, plan.chain_len
+    md, mc = ((plan.g2T, plan.g2T_corr) if inverse
+              else (plan.m2T, plan.m2T_corr))
+    t1 = min(n1, max(8, (1 << 18) // (n2 * 8)))
+    while n1 % t1:
+        t1 -= 1
+
+    def msel(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            (1,) + a.shape[1:],
+            lambda i, j, m, _nd=nd: (m[i],) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM)
+
+    cspec = pl.BlockSpec((1, N_FIXED + L, 2), lambda i, j, m: (m[i], 0, 0),
+                         memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((1, t1, n2), lambda i, j, m: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, n1 // t1),
+        in_specs=[msel(md), msel(mc), cspec, blk, blk],
+        out_specs=(blk, blk),
+    )
+    oh, ol = pl.pallas_call(
+        functools.partial(_rns_rowmat_kernel, chain_len=L),
+        out_shape=(jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(mod_idx, jnp.int32), md, mc, plan.consts, y.hi, y.lo)
+    return U64(oh, ol)
+
+
+def fourstep_mxu_rns_lanes(x: U64, plan: FourStepRNSMXUPlan, mod_idx,
+                           inverse: bool = False,
+                           interpret: bool = False) -> U64:
+    """GPU_4STEP_NTT-convention RNS transform on (batch, N) u64 pairs
+    (same pre/post-transpose contract as fourstep_mxu_lanes)."""
+    batch, n = x.hi.shape
+    n1, n2 = plan.n1, plan.n2
+    mod_idx = np.asarray(mod_idx)
+    xv = U64(x.hi.reshape(batch, n2, n1), x.lo.reshape(batch, n2, n1))
+    y = _rns_4step_col_call(xv, plan, mod_idx, inverse, interpret)
+    if plan.row_rns is not None:
+        rows = U64(y.hi.reshape(batch * n1, n2), y.lo.reshape(batch * n1, n2))
+        z = pallas_mxu_rns_u64(rows, plan.row_rns, np.repeat(mod_idx, n1),
+                               inverse=inverse, interpret=interpret)
+        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+    z = _rns_4step_rowmat_call(y, plan, mod_idx, inverse, interpret)
+    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))

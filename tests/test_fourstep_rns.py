@@ -63,3 +63,70 @@ def test_rns_fourstep_rejects_mixed_shapes():
     b = _member(576460752303439873, 13, np.uint64)
     with pytest.raises(ValueError):
         RNSFourStepPlan.from_params([a, b])
+
+
+def _is_prime(n):
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _find_primes(logn, count):
+    step = 2 << logn
+    out, k = [], (1 << 59) // step
+    while len(out) < count:
+        q = k * step + 1
+        if _is_prime(q):
+            out.append(q)
+        k += 1
+    return out
+
+
+@pytest.mark.parametrize("logn", [14, 17])
+def test_rns_fourstep_mxu_parity(logn, rng):
+    """The stacked 4-step MXU kernels (scalar-prefetch table gather)
+    are bit-identical to the XLA RNS 4-step engine: logn 14 exercises
+    the right-matmul row branch (n2 = 512), logn 17 the nested-row
+    branch (n2 = 4096 through the stacked in-VMEM RNS kernel)."""
+    from gpuntt_tpu.ops.fourstep_rns import (rns_fourstep_intt_lanes,
+                                             rns_fourstep_ntt_lanes)
+    from gpuntt_tpu.ops.pallas_mxu_rns import (FourStepRNSMXUPlan,
+                                               fourstep_mxu_rns_lanes)
+
+    members = [_member(q, logn, np.uint64) for q in _find_primes(logn, 2)]
+    plan = RNSFourStepPlan.from_params(members)
+    mplan = FourStepRNSMXUPlan.from_members(members)
+    assert (mplan.row_rns is None) == (logn == 14)
+    batch = 3
+    mod_idx = np.array([1, 0, 1], dtype=np.int64)
+    qs = np.array(plan.qs, dtype=np.uint64)
+    x = np.stack([rng.integers(0, qs[mod_idx[b]], 1 << logn, dtype=np.uint64)
+                  for b in range(batch)])
+    lanes = to_lanes(x, True)
+
+    exp = from_lanes(rns_fourstep_ntt_lanes(lanes, plan, mod_idx), True)
+    got = from_lanes(
+        fourstep_mxu_rns_lanes(lanes, mplan, mod_idx, interpret=True), True)
+    np.testing.assert_array_equal(got, exp)
+
+    exp_i = from_lanes(
+        rns_fourstep_intt_lanes(to_lanes(exp, True), plan, mod_idx), True)
+    got_i = from_lanes(
+        fourstep_mxu_rns_lanes(to_lanes(exp, True), mplan, mod_idx,
+                               inverse=True, interpret=True), True)
+    np.testing.assert_array_equal(got_i, exp_i)
