@@ -43,9 +43,12 @@ def test_cpu_and_layout_fall_back(monkeypatch):
 
 
 def test_rns_mxu_route_grouping(monkeypatch):
-    """_rns_mxu_route groups batches by modulus, transforms each group
-    with its member plan, and scatters results back in order."""
+    """When the single-kernel plan is unavailable, _rns_mxu_route falls
+    back to grouping batches by modulus, transforming each group with
+    its member plan, and scattering results back in order."""
     monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dispatch, "_mxu_rns_plan_cached",
+                        lambda plan, large: None)
     p0 = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
     p1 = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
 
@@ -67,6 +70,34 @@ def test_rns_mxu_route_grouping(monkeypatch):
     assert out is not None
     np.testing.assert_array_equal(out, x + 1)
     assert sorted(c[1] for c in calls) == [2, 3]  # group sizes
+
+
+def test_rns_mxu_route_prefers_single_kernel(monkeypatch):
+    """On TPU the route prefers the stacked single-kernel engine."""
+    import gpuntt_tpu.ops.pallas_mxu_rns as prns
+
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    p0 = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    p1 = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+
+    from gpuntt_tpu.ops.merge_ntt import to_lanes
+    from gpuntt_tpu.ops.rns import RNSMergePlan
+
+    plan = RNSMergePlan.from_params([p0, p1])
+    seen = {}
+
+    def fake_kernel(lanes, rplan, mod_idx, inverse=False, interpret=False):
+        seen["mod_idx"] = np.asarray(mod_idx).tolist()
+        seen["mc"] = rplan.mod_count
+        return lanes
+
+    monkeypatch.setattr(prns, "pallas_mxu_rns_u64", fake_kernel)
+    x = np.arange(4 * p0.n, dtype=np.uint64).reshape(4, p0.n)
+    mod_idx = np.array([0, 1, 1, 0])
+    out = dispatch._rns_mxu_route(x, plan, mod_idx, inverse=False)
+    assert out is not None
+    np.testing.assert_array_equal(out, x)  # identity fake
+    assert seen == {"mod_idx": [0, 1, 1, 0], "mc": 2}
 
 
 def test_rns_mxu_route_declines_off_tpu(monkeypatch):
