@@ -44,6 +44,7 @@ def _run(script, *args, env_extra=None):
     ("example_merge_intt.py", ("9", "2")),
     ("example_4step_ntt.py", ("12", "2")),
     ("example_4step_intt.py", ("12", "2")),
+    ("example_rns_ntt.py", ("12", "4")),
 ])
 def test_example_script(script, args):
     _run(script, *args)
