@@ -292,8 +292,10 @@ def _merge_plan_cached(params):
 
 def _mxu_rns_plan_cached(plan, large: bool):
     """Single-kernel stacked-table plan, cached on the first member."""
-    from .pallas_mxu_rns import MXULargeRNSPlan, MXURNSPlan
+    from .pallas_mxu_rns import MXU32RNSPlan, MXULargeRNSPlan, MXURNSPlan
 
+    if not plan.is64 and large:
+        return None  # u32 large rings: per-modulus host split
     host = plan.members[0]
     cache = getattr(host, "_mxu_rns_cache", None)
     if cache is None:
@@ -301,9 +303,10 @@ def _mxu_rns_plan_cached(plan, large: bool):
         host._mxu_rns_cache = cache
     key = (plan.logn, plan.qs, plan.reduction_poly, large)
     if key not in cache:
-        builder = (MXULargeRNSPlan if large else MXURNSPlan).from_members
+        cls = (MXULargeRNSPlan if large else
+               MXURNSPlan if plan.is64 else MXU32RNSPlan)
         try:
-            cache[key] = builder(plan.members)
+            cache[key] = cls.from_members(plan.members)
         except ValueError:
             cache[key] = None
     return cache[key]
@@ -321,22 +324,25 @@ def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
     logn, wide moduli) — callers fall back to the XLA RNS engine."""
     import jax as _jax
 
-    if (_jax.default_backend() != "tpu" or not plan.is64
+    q_cap = (1 << 60) if plan.is64 else (1 << 30)
+    if (_jax.default_backend() != "tpu"
             or getattr(plan, "members", None) is None
             or not 12 <= plan.logn <= 23
-            or any(q >= (1 << 60) for q in plan.qs)):
+            or any(q >= q_cap for q in plan.qs)):
         return None
     x = np.asarray(x)
     large = plan.logn > 17
     rplan = _mxu_rns_plan_cached(plan, large)
     if rplan is not None:
-        from .pallas_mxu_rns import (pallas_mxu_large_rns_u64,
+        from .pallas_mxu_rns import (pallas_mxu32_rns,
+                                     pallas_mxu_large_rns_u64,
                                      pallas_mxu_rns_u64)
 
-        fn = pallas_mxu_large_rns_u64 if large else pallas_mxu_rns_u64
-        lanes = to_lanes(x, True)
+        fn = (pallas_mxu_large_rns_u64 if large else
+              pallas_mxu_rns_u64 if plan.is64 else pallas_mxu32_rns)
+        lanes = to_lanes(x, plan.is64)
         out = fn(lanes, rplan, mod_idx, inverse=inverse)
-        return from_lanes(out, True).astype(x.dtype)
+        return from_lanes(out, plan.is64).astype(x.dtype)
     out = np.empty_like(x)
     for m in range(plan.mod_count):
         sel = np.nonzero(mod_idx == m)[0]

@@ -45,9 +45,10 @@ def _consts32(q: int):
 
 def _lazy_to_u32(s: U64, consts):
     """u64 lazy residue -> u32 lazy residue < 3q (Barrett-by-1)."""
-    qc = bo.u64_const(consts["q"])
-    r = bo.shoup_mul64_lazy(s, bo.u64_const(1), bo.u64_const(consts["one_s"]),
-                            qc)
+    from .pallas_mxu import _cu64
+
+    qc = _cu64(consts["q"])
+    r = bo.shoup_mul64_lazy(s, bo.u64_const(1), _cu64(consts["one_s"]), qc)
     return r.lo  # 3q < 2^32
 
 

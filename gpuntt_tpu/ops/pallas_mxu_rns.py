@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import barrett as bo32
 from .limb import U64
 from .pallas_mxu import (MXUMergePlan, ND, NDIAG, _canon, _modmat_phase,
                          _w_mul_lazy)
@@ -661,3 +662,151 @@ def fourstep_mxu_rns_lanes(x: U64, plan: FourStepRNSMXUPlan, mod_idx,
         return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
     z = _rns_4step_rowmat_call(y, plan, mod_idx, inverse, interpret)
     return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+
+
+# --------------------------------------------------------------- u32 RNS
+#
+# The 32-bit machinery (pallas_mxu32.py: four radix-256 digits, lazy
+# collapse to one uint32 plane between phases) gets the same stacking.
+# Constants per modulus: q, the Horner companions, the OFF constant and
+# the Barrett-by-one companion (no canonicalisation chain — the u32
+# canon is a fixed two-step conditional subtract).
+
+N_FIXED32 = 5  # q, r40, r40s, cadd, one_s
+
+
+@dataclass(frozen=True)
+class MXU32RNSPlan:
+    """Stacked per-modulus u32 digit tables."""
+
+    logn: int
+    A: int
+    B: int
+    mod_count: int
+    fwd_left: Any        # (mc, ND32, A, A)
+    fwd_left_corr: Any
+    fwd_right: Any
+    fwd_right_corr: Any
+    w_fwd: Any           # 2 x (mc, A, B) uint32
+    inv_right: Any
+    inv_right_corr: Any
+    inv_left: Any
+    inv_left_corr: Any
+    w_inv: Any
+    consts: Any          # (mc, N_FIXED32, 2)
+
+    @staticmethod
+    def from_members(members) -> "MXU32RNSPlan":
+        from .pallas_mxu32 import MXU32Plan
+
+        plans = [MXU32Plan.from_params(p) for p in members]
+        p0 = plans[0]
+        if any(pl_.A != p0.A or pl_.B != p0.B for pl_ in plans):
+            raise ValueError("RNS members must share the (A, B) split")
+
+        def stack(field):
+            return jax.device_put(
+                np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
+
+        def stack_w(field):
+            return tuple(
+                jax.device_put(np.stack(
+                    [np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
+                for i in range(2))
+
+        consts = np.zeros((len(plans), N_FIXED32, 2), dtype=np.uint32)
+        for m, pl_ in enumerate(plans):
+            c = pl_.consts
+            rows = [c["q"], c["r40"], c["r40s"], c["cadd"], c["one_s"]]
+            for k, v in enumerate(rows):
+                consts[m, k, 0] = (v >> 32) & 0xFFFFFFFF
+                consts[m, k, 1] = v & 0xFFFFFFFF
+
+        return MXU32RNSPlan(
+            logn=p0.logn, A=p0.A, B=p0.B, mod_count=len(plans),
+            fwd_left=stack("fwd_left"),
+            fwd_left_corr=stack("fwd_left_corr"),
+            fwd_right=stack("fwd_right"),
+            fwd_right_corr=stack("fwd_right_corr"),
+            w_fwd=stack_w("w_fwd"),
+            inv_right=stack("inv_right"),
+            inv_right_corr=stack("inv_right_corr"),
+            inv_left=stack("inv_left"),
+            inv_left_corr=stack("inv_left_corr"),
+            w_inv=stack_w("w_inv"),
+            consts=jax.device_put(consts),
+        )
+
+
+def _consts32_from_ref(cr) -> dict:
+    def g(k):
+        return U64(cr[0, k, 0], cr[0, k, 1])
+
+    # q doubles as a plain uint32 scalar for the 32-bit lazy ops
+    return dict(q32=cr[0, 0, 1], q=g(0), r40=g(1), r40s=g(2), cadd=g(3),
+                one_s=g(4))
+
+
+def _rns32_fwd_kernel(midx, lh, lc, rh, rc, w, ws, cr, xr, orf):
+    from .pallas_mxu32 import _canon32, _lazy_to_u32
+
+    consts = _consts32_from_ref(cr)
+    q = consts["q32"]
+    y = _lazy_to_u32(_modmat_phase(xr[0], lh[0], lc[0], True, consts), consts)
+    y = bo32.shoup_mul32_lazy(y, w[0], ws[0], q)
+    z = _lazy_to_u32(_modmat_phase(y, rh[0], rc[0], False, consts), consts)
+    orf[0] = _canon32(z, q)
+
+
+def _rns32_inv_kernel(midx, rh, rc, lh, lc, w, ws, cr, xr, orf):
+    from .pallas_mxu32 import _canon32, _lazy_to_u32
+
+    consts = _consts32_from_ref(cr)
+    q = consts["q32"]
+    y = _lazy_to_u32(_modmat_phase(xr[0], rh[0], rc[0], False, consts), consts)
+    y = bo32.shoup_mul32_lazy(y, w[0], ws[0], q)
+    z = _lazy_to_u32(_modmat_phase(y, lh[0], lc[0], True, consts), consts)
+    orf[0] = _canon32(z, q)
+
+
+def pallas_mxu32_rns(x, plan: MXU32RNSPlan, mod_idx,
+                     inverse: bool = False, interpret: bool = False):
+    """u32 RNS forward/inverse merge NTT on (batch, N) uint32."""
+    batch, n = x.shape
+    A, B = plan.A, plan.B
+    mod_idx = jnp.asarray(mod_idx, dtype=jnp.int32)
+
+    if inverse:
+        kernel = _rns32_inv_kernel
+        tabs = [plan.inv_right, plan.inv_right_corr,
+                plan.inv_left, plan.inv_left_corr, *plan.w_inv]
+    else:
+        kernel = _rns32_fwd_kernel
+        tabs = [plan.fwd_left, plan.fwd_left_corr,
+                plan.fwd_right, plan.fwd_right_corr, *plan.w_fwd]
+
+    def msel(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            (1,) + a.shape[1:],
+            lambda i, m, _nd=nd: (m[i],) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM)
+
+    cspec = pl.BlockSpec((1, N_FIXED32, 2), lambda i, m: (m[i], 0, 0),
+                         memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((1, A, B), lambda i, m: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch,),
+        in_specs=[*[msel(t) for t in tabs], cspec, blk],
+        out_specs=blk,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(mod_idx, *tabs, plan.consts, x.reshape(batch, A, B))
+    return out.reshape(batch, n)

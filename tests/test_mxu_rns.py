@@ -136,3 +136,43 @@ def test_large_ring_rns_parity(logn, rng):
         pallas_mxu_large_rns_u64(to_lanes(exp, True), lplan, mod_idx,
                                  inverse=True, interpret=True), True)
     np.testing.assert_array_equal(back, x)
+
+
+def test_u32_rns_single_kernel_parity(rng):
+    """The u32 stacked kernel (4-digit machinery, per-modulus constants
+    incl. the Barrett-by-one companion) matches the XLA RNS engine."""
+    import jax.numpy as jnp
+
+    from gpuntt_tpu import Modulus32
+    from gpuntt_tpu.ops.pallas_mxu_rns import MXU32RNSPlan, pallas_mxu32_rns
+
+    def member32(q, logn):
+        g = 3
+        while pow(g, (q - 1) // 2, q) == 1:
+            g += 1
+        psi = pow(g, (q - 1) // (2 << logn), q)
+        return NTTParameters(
+            logn, ReductionPolynomial.X_N_plus, dtype=np.uint32,
+            factors=NTTFactors(Modulus32(q), pow(psi, 2, q), psi))
+
+    members = [member32(q, LOGN) for q in (268460033, 268582913, 268664833)]
+    plan = RNSMergePlan.from_params(members)
+    rplan = MXU32RNSPlan.from_members(members)
+    batch = 5
+    mod_idx = np.array([1, 2, 0, 2, 1], dtype=np.int64)
+    qs = np.array(plan.qs, dtype=np.uint64)
+    x = np.stack([rng.integers(0, qs[mod_idx[b]], 1 << LOGN,
+                               dtype=np.uint64)
+                  for b in range(batch)]).astype(np.uint32)
+
+    exp = np.asarray(rns_ntt_lanes(jnp.asarray(x), plan, mod_idx))
+    got = np.asarray(
+        pallas_mxu32_rns(jnp.asarray(x), rplan, mod_idx, interpret=True))
+    np.testing.assert_array_equal(got, exp)
+
+    exp_i = np.asarray(rns_intt_lanes(jnp.asarray(exp), plan, mod_idx))
+    got_i = np.asarray(
+        pallas_mxu32_rns(jnp.asarray(exp), rplan, mod_idx,
+                         inverse=True, interpret=True))
+    np.testing.assert_array_equal(got_i, exp_i)
+    np.testing.assert_array_equal(got_i, x)
