@@ -324,25 +324,27 @@ def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
     logn, wide moduli) — callers fall back to the XLA RNS engine."""
     import jax as _jax
 
-    q_cap = (1 << 60) if plan.is64 else (1 << 30)
-    if (_jax.default_backend() != "tpu"
+    # u32 RNS stays on the XLA engine: the stacked u32 kernel measured
+    # 0.64x XLA at 2^16x128 (a u32 Shoup modmul is ~6 lane multiplies,
+    # so the digit-combine overhead dominates, as for the single-modulus
+    # u32 MXU engine); pallas_mxu32_rns remains available for hardware
+    # where the balance differs.
+    if (_jax.default_backend() != "tpu" or not plan.is64
             or getattr(plan, "members", None) is None
             or not 12 <= plan.logn <= 23
-            or any(q >= q_cap for q in plan.qs)):
+            or any(q >= (1 << 60) for q in plan.qs)):
         return None
     x = np.asarray(x)
     large = plan.logn > 17
     rplan = _mxu_rns_plan_cached(plan, large)
     if rplan is not None:
-        from .pallas_mxu_rns import (pallas_mxu32_rns,
-                                     pallas_mxu_large_rns_u64,
+        from .pallas_mxu_rns import (pallas_mxu_large_rns_u64,
                                      pallas_mxu_rns_u64)
 
-        fn = (pallas_mxu_large_rns_u64 if large else
-              pallas_mxu_rns_u64 if plan.is64 else pallas_mxu32_rns)
-        lanes = to_lanes(x, plan.is64)
+        fn = pallas_mxu_large_rns_u64 if large else pallas_mxu_rns_u64
+        lanes = to_lanes(x, True)
         out = fn(lanes, rplan, mod_idx, inverse=inverse)
-        return from_lanes(out, plan.is64).astype(x.dtype)
+        return from_lanes(out, True).astype(x.dtype)
     out = np.empty_like(x)
     for m in range(plan.mod_count):
         sel = np.nonzero(mod_idx == m)[0]

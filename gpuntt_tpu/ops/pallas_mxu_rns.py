@@ -671,6 +671,11 @@ def fourstep_mxu_rns_lanes(x: U64, plan: FourStepRNSMXUPlan, mod_idx,
 # Constants per modulus: q, the Horner companions, the OFF constant and
 # the Barrett-by-one companion (no canonicalisation chain — the u32
 # canon is a fixed two-step conditional subtract).
+#
+# NOT default-routed: measured 0.64x the XLA u32 RNS engine at
+# 2^16x128 on v5e (a u32 Shoup modmul is ~6 lane multiplies, so the
+# digit-combine overhead dominates, mirroring the single-modulus u32
+# result).  Kept for hardware where the balance differs.
 
 N_FIXED32 = 5  # q, r40, r40s, cadd, one_s
 
