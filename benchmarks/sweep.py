@@ -26,20 +26,53 @@ import numpy as np
 from gpuntt_tpu.utils.timing import time_marginal  # noqa: E402
 
 
-def bench_merge(logn: int, dtype, batch: int, rng):
+def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
     import jax
 
-    from gpuntt_tpu import NTTParameters, ReductionPolynomial
-    from gpuntt_tpu.ops.dispatch import intt_lanes, ntt_lanes
+    from gpuntt_tpu import NTTLayout, NTTParameters, ReductionPolynomial
+    from gpuntt_tpu.ops.dispatch import _kernel_path, intt_lanes, ntt_lanes
     from gpuntt_tpu.ops.merge_ntt import MergePlan, to_lanes
+    from gpuntt_tpu.utils.timing import time_chain, time_wall
 
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=dtype)
     plan = MergePlan.from_params(p)
     x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
     lanes = to_lanes(x.astype(dtype) if dtype == np.uint32 else x, plan.is64)
+
+    if layout == "coeff":
+        # PerCoefficient: (N, batch) buffer, transform along axis 0 —
+        # measures the relayout cost on top of the same engines
+        import jax.numpy as jnp
+
+        lanes = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1),
+                                       lanes)
+        lo = NTTLayout.PerCoefficient
+        fwd = time_marginal(
+            lambda v: ntt_lanes(v, plan, layout=lo), lanes)
+        inv = time_marginal(
+            lambda v: intt_lanes(v, plan, layout=lo), lanes)
+        return fwd, inv, "marginal (PerCoefficient)"
+
+    tpu = jax.default_backend() == "tpu"
+    if tpu and plan.is64 and plan.q < (1 << 60) and logn >= 24:
+        # staged multi-program route: eager, wall-clock timed
+        from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
+                                                     pallas_mxu_large_u64)
+
+        mp = mxu_large_plan(p)
+        fwd = time_wall(lambda: pallas_mxu_large_u64(lanes, mp))
+        inv = time_wall(lambda: pallas_mxu_large_u64(lanes, mp, inverse=True))
+        return fwd, inv, "wall-clock (staged multi-program)"
+    if tpu and _kernel_path(plan, x.shape, NTTLayout.PerPolynomial) is None:
+        # XLA butterfly engine: k>1 jitted chains at logn >= 19 take
+        # many minutes to compile on the relay — time a k=1 chain only
+        # and accept the per-dispatch overhead in the number
+        fwd = time_chain(lambda v: ntt_lanes(v, plan), lanes, k=1)
+        inv = time_chain(lambda v: intt_lanes(v, plan), lanes, k=1)
+        return fwd, inv, "k=1 chain (XLA engine; incl dispatch)"
     fwd = time_marginal(lambda v: ntt_lanes(v, plan), lanes)
     inv = time_marginal(lambda v: intt_lanes(v, plan), lanes)
-    return fwd, inv
+    return fwd, inv, "marginal"
 
 
 def bench_4step(logn: int, dtype, batch: int, rng):
@@ -58,7 +91,7 @@ def bench_4step(logn: int, dtype, batch: int, rng):
     # reference bench, which times GPU_4STEP_NTT alone
     fwd = time_marginal(lambda v: fourstep_ntt_lanes(v, plan), lanes)
     inv = time_marginal(lambda v: fourstep_intt_lanes(v, plan), lanes)
-    return fwd, inv
+    return fwd, inv, "marginal"
 
 
 def main():
@@ -71,6 +104,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="fixed batch size (e.g. 1 for the reference's "
                          "nvbench latency scope); overrides --batch-mb")
+    ap.add_argument("--layout", default="poly", choices=["poly", "coeff"],
+                    help="merge-engine batch layout (coeff = "
+                         "PerCoefficient, ntt.cu:1554-2075 equivalent)")
     args = ap.parse_args()
 
     import jax
@@ -93,8 +129,11 @@ def main():
                 if engine == "4step" and not 12 <= logn <= 24:
                     continue
                 try:
-                    f = bench_merge if engine == "merge" else bench_4step
-                    fwd, inv = f(logn, dtype, batch, rng)
+                    if engine == "merge":
+                        fwd, inv, tnote = bench_merge(logn, dtype, batch,
+                                                      rng, args.layout)
+                    else:
+                        fwd, inv, tnote = bench_4step(logn, dtype, batch, rng)
                 except Exception as e:
                     print(json.dumps({"engine": engine, "logn": logn,
                                       "dtype": dname,
@@ -107,6 +146,7 @@ def main():
                     "inv_ms_per_ntt": round(inv / batch * 1e3, 6),
                     "fwd_ntts_per_sec": round(batch / fwd, 1),
                     "inv_ntts_per_sec": round(batch / inv, 1),
+                    "timing": tnote,
                     "device": dev,
                 }
                 rows.append(rec)

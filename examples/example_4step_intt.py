@@ -3,13 +3,18 @@
 intt_first_transpose pre-permute -> 4-step inverse core -> transpose,
 bit-exact vs NTT_4STEP_CPU::intt (test_4step_intt.cu:83-88, :151-179).
 
-Usage: python example_4step_intt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+Usage: python example_4step_intt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE] [--platform=cpu|tpu]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 

@@ -5,13 +5,18 @@ transpose -> 4-step core -> transpose, bit-exact vs NTT_4STEP_CPU::ntt
 convention: the first/last transposes are the caller's job
 (ntt_4step.cuh:68-74), shown here explicitly with transpose_lanes.
 
-Usage: python example_4step_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+Usage: python example_4step_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE] [--platform=cpu|tpu]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 

@@ -3,13 +3,18 @@
 Round-trip property of the 4-step golden model: NTT -> pointwise mult
 -> INTT equals schoolbook mod X^N - 1 (test_cpu_4step_ntt.cu:64-78).
 
-Usage: python example_cpu_4step_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+Usage: python example_cpu_4step_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE] [--platform=cpu|tpu]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 

@@ -4,13 +4,18 @@ Validates the golden model itself: NTT -> pointwise mult -> INTT equals
 schoolbook polynomial multiplication mod X^N - 1
 (test_cpu_merge_ntt.cu:69-101).
 
-Usage: python example_cpu_merge_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+Usage: python example_cpu_merge_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE] [--platform=cpu|tpu]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 

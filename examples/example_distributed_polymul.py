@@ -17,6 +17,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
+
 import numpy as np
 
 

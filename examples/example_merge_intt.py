@@ -5,13 +5,18 @@ Three sections, mirroring test_merge_intt.cu:
   2. signed-output INTT via centered reduction (:205-370)
   3. PerCoefficient layout check (:475-506)
 
-Usage: python example_merge_intt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+Usage: python example_merge_intt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE] [--platform=cpu|tpu]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 

@@ -8,13 +8,18 @@ Three sections, mirroring test_merge_ntt.cu:
 
 Runs on whatever device JAX sees (TPU if available, CPU otherwise).
 
-Usage: python example_merge_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE]
+Usage: python example_merge_ntt.py [RING_SIZE_IN_LOG2] [BATCH_SIZE] [--platform=cpu|tpu]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 

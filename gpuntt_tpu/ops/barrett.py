@@ -187,7 +187,11 @@ def reduce_forced32(x, q: int, bit: int, mu: int):
     c = (1 << 32) // q
     hi = mul32x32_64(x, jnp.uint32(c)).hi
     r = x - mul32x32_lo(hi, jnp.uint32(q))
-    r = jnp.where(r >= 2 * q, r - jnp.uint32(2 * q), r)
+    # undershoot of the quotient estimate is <= 1 (c > 2^32/q - 1 gives
+    # hi >= floor(x/q) - 1), so r < 2q and ONE conditional subtract
+    # canonicalises; r itself always fits the word (r <= x).  A second
+    # `r >= 2q` subtract would be dead — and its 2q constant overflows
+    # the word for q >= 2^31, which is why it is absent (ADVICE r1).
     return jnp.where(r >= q, r - jnp.uint32(q), r)
 
 
@@ -195,9 +199,8 @@ def reduce_forced64(x: U64, q: int, bit: int, mu: int) -> U64:
     """x mod q for ANY u64 pair and any q >= 2 (modular_arith.cuh:407-418)."""
     qc = u64_const(q)
     c = u64_const((1 << 64) // q)
-    hi = mul64x64_hi(x, c)  # exact: quotient undershoot <= 1
+    hi = mul64x64_hi(x, c)  # quotient undershoot <= 1 -> r < 2q
     r = u64_sub(x, mul64x64_lo(hi, qc))
-    r = u64_select(u64_gte(r, u64_const(2 * q)), u64_sub(r, u64_const(2 * q)), r)
     return u64_select(u64_gte(r, qc), u64_sub(r, qc), r)
 
 

@@ -73,8 +73,10 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
         if plan.q < (1 << 60):
             if 12 <= plan.logn <= 17:
                 return "mxu"
-            # 2^24 exceeds what the compiler handles as one composed
-            # col+row program; it stays on the XLA engine
+            # logn 24-28 exceeds what the compiler handles as one
+            # composed col+row program; inside a trace it stays on the
+            # XLA engine, but the numpy entry points run the staged
+            # multi-program MXU route (_staged_route) instead
             if 18 <= plan.logn <= 23:
                 return "mxu-large"
         return None
@@ -150,31 +152,39 @@ def ntt_lanes(
     signed_input: bool = False,
     use_pallas: bool | str = "auto",
 ):
-    """Forward NTT on the lane representation (jittable building block)."""
+    """Forward NTT on the lane representation (jittable building block).
+
+    PerCoefficient is an axis relayout applied BEFORE kernel-path
+    selection, so it reaches the same Pallas/MXU engines as
+    PerPolynomial (the reference needs a dedicated transpose-fused
+    kernel family for this, ntt.cu:1554-2075; on TPU the relayout is
+    one XLA transpose — measured at parity in benchmarks/sweep.py)."""
     if signed_input:
         if plan.is64:
             x = bo.reduce_signed64(x, bo.u64_const(plan.q))
         else:
             x = bo.reduce_signed32(x, plan.q)
+    x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
-        use_pallas = _kernel_path(plan, shape, layout)
+        use_pallas = _kernel_path(plan, shape, NTTLayout.PerPolynomial)
     elif use_pallas is True:
         use_pallas = _explicit_path(plan)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
     if use_pallas in _MXU_PATHS:
-        return _mxu_fn(x, _mp)
-    if use_pallas:
+        y = _mxu_fn(x, _mp)
+    elif use_pallas:
         kp = plan.kernel_plan()
         if plan.is64:
             from .pallas_merge64 import pallas_merge2_u64
 
-            return pallas_merge2_u64(x, kp)
-        from .pallas_merge2 import pallas_merge2_u32
+            y = pallas_merge2_u64(x, kp)
+        else:
+            from .pallas_merge2 import pallas_merge2_u32
 
-        return pallas_merge2_u32(x, kp)
-    x = _apply_layout_in(x, layout)
-    y = merge_ntt_lanes(x, plan)
+            y = pallas_merge2_u32(x, kp)
+    else:
+        y = merge_ntt_lanes(x, plan)
     return _apply_layout_out(y, layout)
 
 
@@ -185,17 +195,21 @@ def intt_lanes(
     signed_output: bool = False,
     use_pallas: bool | str = "auto",
 ):
-    """Inverse NTT on the lane representation (jittable building block)."""
+    """Inverse NTT on the lane representation (jittable building block).
+
+    Layout semantics as ntt_lanes: PerCoefficient relayouts before
+    kernel-path selection."""
+    x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
-        use_pallas = _kernel_path(plan, shape, layout)
+        use_pallas = _kernel_path(plan, shape, NTTLayout.PerPolynomial)
     elif use_pallas is True:
         use_pallas = _explicit_path(plan)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
-    if use_pallas:
-        if use_pallas in _MXU_PATHS:
-            y = _mxu_fn(x, _mp, inverse=True)
-        elif plan.is64:
+    if use_pallas in _MXU_PATHS:
+        y = _mxu_fn(x, _mp, inverse=True)
+    elif use_pallas:
+        if plan.is64:
             from .pallas_merge64 import pallas_merge2_u64
 
             y = pallas_merge2_u64(x, plan.kernel_plan(), inverse=True)
@@ -203,19 +217,50 @@ def intt_lanes(
             from .pallas_merge2 import pallas_merge2_u32
 
             y = pallas_merge2_u32(x, plan.kernel_plan(), inverse=True)
-        if signed_output:
-            if plan.is64:
-                return bo.centered64(y, bo.u64_const(plan.q))
-            return bo.centered32(y, plan.q)
-        return y
-    x = _apply_layout_in(x, layout)
-    y = merge_intt_lanes(x, plan)
+    else:
+        y = merge_intt_lanes(x, plan)
     y = _apply_layout_out(y, layout)
     if signed_output:
         if plan.is64:
             return bo.centered64(y, bo.u64_const(plan.q))
         return bo.centered32(y, plan.q)
     return y
+
+
+# --------------------------------------------- staged big-N route (24-28)
+
+
+def _staged_route(x_lanes, plan: MergePlan, layout, inverse: bool,
+                  signed_input: bool = False, signed_output: bool = False):
+    """Merge NTT at logn 24-28 on TPU: run the large-ring MXU engine
+    EAGERLY so each pallas_call compiles as its own small program (the
+    composed program at these sizes overwhelms the compiler) — the TPU
+    analog of the reference's 3-4-launch big-N plans (ntt.cuh:665-698,
+    ForwardCore_ ntt.cu:2163-2224).  Returns None when ineligible
+    (non-TPU, u32, wide q, non-root factors) — callers fall back to the
+    jitted XLA engine."""
+    import jax as _jax
+
+    if (_jax.default_backend() != "tpu" or not plan.is64
+            or plan.params is None or plan.q >= (1 << 60)
+            or not 24 <= plan.logn <= 28):
+        return None
+    shape = jax.tree_util.tree_leaves(x_lanes)[0].shape
+    if len(shape) != 2:
+        return None
+    from .pallas_mxu_large import mxu_large_plan, pallas_mxu_large_u64
+
+    try:
+        mp = mxu_large_plan(plan.params)
+    except ValueError:
+        return None  # garbage-in factors: XLA engine parity path
+    x_lanes = _apply_layout_in(x_lanes, layout)
+    if signed_input:
+        x_lanes = bo.reduce_signed64(x_lanes, bo.u64_const(plan.q))
+    y = pallas_mxu_large_u64(x_lanes, mp, inverse=inverse)
+    if signed_output:
+        y = bo.centered64(y, bo.u64_const(plan.q))
+    return _apply_layout_out(y, layout)
 
 
 # ------------------------------------------------------ numpy convenience
@@ -252,6 +297,10 @@ def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
     else:
         xv = x
     lanes = to_lanes(xv, plan.is64)
+    staged = _staged_route(lanes, plan, layout, inverse=False,
+                           signed_input=signed_input)
+    if staged is not None:
+        return from_lanes(staged, plan.is64)
     fn = _cached_jit(
         plan, ("ntt", layout, signed_input),
         lambda: lambda v: ntt_lanes(v, plan, layout=layout,
@@ -264,6 +313,11 @@ def intt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
     layout = kw.pop("layout", cfg.ntt_layout if cfg else NTTLayout.PerPolynomial)
     signed_output = kw.pop("signed_output", False)
     lanes = to_lanes(np.asarray(x), plan.is64)
+    staged = _staged_route(lanes, plan, layout, inverse=True,
+                           signed_output=signed_output)
+    if staged is not None:
+        res = from_lanes(staged, plan.is64)
+        return res.view(np.int64) if signed_output else res
     fn = _cached_jit(
         plan, ("intt", layout, signed_output),
         lambda: lambda v: intt_lanes(v, plan, layout=layout,
@@ -301,7 +355,10 @@ def _mxu_rns_plan_cached(plan, large: bool):
     if cache is None:
         cache = {}
         host._mxu_rns_cache = cache
-    key = (plan.logn, plan.qs, plan.reduction_poly, large)
+    # key includes each member's roots: NTTFactors allows two plans to
+    # share moduli but differ in caller-supplied psi/omega (ADVICE r1)
+    key = (plan.logn, plan.qs, plan.reduction_poly, large,
+           tuple((m.root_of_unity, m.poly_reduction) for m in plan.members))
     if key not in cache:
         cls = (MXULargeRNSPlan if large else
                MXURNSPlan if plan.is64 else MXU32RNSPlan)

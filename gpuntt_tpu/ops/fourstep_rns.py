@@ -194,7 +194,10 @@ def _mxu_rns_route(x, plan: "RNSFourStepPlan", mod_idx, inverse: bool):
     if cache is None:
         cache = {}
         host._fourstep_rns_mxu_cache = cache
-    key = (plan.logn, plan.qs)
+    # key includes each member's roots: NTTFactors allows two plans to
+    # share moduli but differ in caller-supplied psi/omega (ADVICE r1)
+    key = (plan.logn, plan.qs,
+           tuple((m.root_of_unity, m.poly_reduction) for m in plan.members))
     if key not in cache:
         try:
             cache[key] = FourStepRNSMXUPlan.from_members(plan.members)

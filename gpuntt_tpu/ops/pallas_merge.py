@@ -3,7 +3,7 @@
 Replaces the reference's shared-memory kernel families
 (ForwardCoreLowRing / ForwardCore / InverseCore..., ntt.cu:11-1553)
 with ONE kernel per direction built on an exact algebraic identity
-(validated numerically in tests/test_factorization.py):
+(validated numerically in tests/test_mxu.py):
 
   merge_ntt(x).reshape(A, B)
     = rowNTT_B( W ∘ colNTT_A( x.reshape(A, B) ) )

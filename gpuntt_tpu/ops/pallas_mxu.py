@@ -5,7 +5,7 @@ uint128 math on CUDA cores (modular_arith.cuh:296-339).  A TPU has a
 far better tool for wide integer multiplies than its 32-bit vector
 lanes: the 128x128 MXU.  This kernel computes the merged NTT through
 the exact A x B matrix factorization (validated in
-tests/test_factorization.py and tests/test_mxu.py)
+tests/test_mxu.py)
 
     merge_ntt(x).reshape(A, B) = (Mcol @ X) o W @ Rrow^T   (mod q)
 
@@ -101,18 +101,36 @@ def reduction_consts(q: int, ndiag: int) -> dict:
                 one_s=(1 << 64) // q, chain=tuple(chain))
 
 
+def _row_pows(base: int, exps, q: int) -> np.ndarray:
+    """base^exps[k] mod q — native sequential-power fast path when exps
+    is a non-negative arithmetic progression (the tile/scale case; the
+    4-step inverse W's bitreversed exponent rows take the generic
+    loop).  Large-ring plans at logn 27-28 have ~10^6 table entries,
+    where Python pow is minutes and this is milliseconds."""
+    from .. import _native
+
+    e = list(exps)
+    if len(e) >= 4 and _native.available():
+        d = int(e[1]) - int(e[0])
+        if d >= 0 and all(int(e[k + 1]) - int(e[k]) == d
+                          for k in range(len(e) - 1)):
+            t = _native.power_table(pow(int(base), d, q), q, len(e))
+            e0 = int(e[0])
+            if e0:
+                s = np.full(len(e), pow(int(base), e0, q), dtype=np.uint64)
+                t = _native.pointwise_mult(t, s, q)
+            return t
+    return np.array([pow(int(base), int(x), q) for x in e], dtype=np.uint64)
+
+
 def w_factor(row_bases, exps_tile, exps_scale, q: int):
     """Factored twiddle table W[i, j] = row_bases[i]^(exps_tile[t] +
     exps_scale[jt]) for j = jt*T + t -> a (rows, T) tile table plus
     (n//T, rows, 1) per-tile scale columns.  Shared by the large-ring
     and 4-step engines (the 4-step inverse W's bitreversed exponents
     are additively separable over tile bits, so the same split works)."""
-    tile = np.array(
-        [[pow(int(b), int(e), q) for e in exps_tile] for b in row_bases],
-        dtype=np.uint64)
-    scale = np.array(
-        [[pow(int(b), int(e), q) for e in exps_scale] for b in row_bases],
-        dtype=np.uint64)
+    tile = np.stack([_row_pows(b, exps_tile, q) for b in row_bases])
+    scale = np.stack([_row_pows(b, exps_scale, q) for b in row_bases])
     return tile, np.ascontiguousarray(scale.T)[:, :, None]
 
 

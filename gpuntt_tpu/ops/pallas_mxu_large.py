@@ -81,29 +81,48 @@ class MXULargePlan:
     def from_params(p: NTTParameters, a_col: int | None = None,
                     tile: int | None = None) -> "MXULargePlan":
         q = p.modulus.value
+        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        return MXULargePlan.from_spec(
+            q, p.logn, p.root_of_unity, p.inverse_root_of_unity, xnp,
+            pow(p.n, q - 2, q), a_col=a_col, tile=tile)
+
+    @staticmethod
+    def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
+                  n_inv: int, a_col: int | None = None,
+                  tile: int | None = None, max_row_logn: int = 17,
+                  row_kwargs: dict | None = None) -> "MXULargePlan":
+        """Plan for a merge NTT given its field spec (`root` is omega
+        for X_N_minus, psi for X_N_plus; `n_inv` is the total inverse
+        scaling, folded into the last-applied column matrix).
+
+        logn 18-23 composes one column kernel with in-VMEM rows; for
+        logn 24-28 — the reference's big-N range with 3-4-launch plans
+        (ntt.cuh:665-698, ForwardCore_ ntt.cu:2163-2224) — rows beyond
+        2^17 recurse into a nested MXULargePlan, and execution runs
+        phase-per-program (see pallas_mxu_large_u64's staged use)."""
         if q >= 1 << 60:
             raise ValueError("MXU path requires q < 2^60")
-        n = p.n
-        xnp_chk = p.poly_reduction == ReductionPolynomial.X_N_plus
-        order = 2 * n if xnp_chk else n
-        if (pow(p.root_of_unity, order, q) != 1
-                or (p.root_of_unity * p.inverse_root_of_unity) % q != 1):
+        n = 1 << logn
+        order = 2 * n if xnp else n
+        if (pow(root, order, q) != 1 or (root * iroot) % q != 1):
             raise ValueError("MXU path requires a genuine root of unity")
-        # A = 128 columns except: a balanced split with single-matmul
-        # rows at logn 18 (nested from_spec rows would degenerate to
-        # contraction-16 dots), and wider columns when the rows would
-        # exceed 2^16 (the composed col+row program at B = 2^17
-        # overwhelms the compiler)
+        # Column-count rule: A = 128 except (a) a balanced split with
+        # single-matmul rows at logn 18 (nested from_spec rows would
+        # degenerate to contraction-16 dots), (b) wider columns when the
+        # rows would exceed the in-VMEM kernel, capped at A = 512 — the
+        # exactness bound on the diagonal accumulators (|acc| < 2^28
+        # needs contraction <= 512); logn >= 27 rows recurse instead.
         if a_col:
             A = a_col
-        elif p.logn == 18:
+        elif logn == 18 or logn >= 25:
             A = 512
         else:
             A = max(A_COL, n >> 16)
+        assert A <= 512, "A <= 512 keeps diagonal accumulators exact"
         B = n // A
         logA = A.bit_length() - 1
-        logB = p.logn - logA
-        assert 1 <= logB <= 17, "row transform must fit the in-VMEM kernel"
+        logB = logn - logA
+        assert logB >= 1, "column split must leave a row transform"
         # column tile scales inversely with A: the kernel's VMEM stack is
         # proportional to A*T (the inverse variant at A=512, T=512
         # measured 20.9M against the 16M scoped limit); the RNS wrapper
@@ -111,8 +130,7 @@ class MXULargePlan:
         if tile is None:
             tile = min(B, max(128, (1 << 17) // A))
         tile = min(tile, B)
-        xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
-        r, ri = p.root_of_unity, p.inverse_root_of_unity
+        r, ri = root, iroot
         brA = [bitreverse(a, logA) for a in range(A)]
 
         if xnp:
@@ -130,8 +148,11 @@ class MXULargePlan:
 
         mcol = _pow_matrix(np.array(m_base, dtype=object), q, A)
         ginv_colT = _pow_matrix(np.array(mi_base, dtype=object), q, A)
-        a_inv = pow(A, q - 2, q)
-        ginv_col = (ginv_colT.T.astype(object) * a_inv) % q
+        # rows carry their natural B^-1; the column matrix (applied last
+        # in the inverse) absorbs the rest of the caller's n_inv —
+        # n_inv * B == A^-1 for the standard full-transform scaling
+        c_inv = (n_inv * B) % q
+        ginv_col = (ginv_colT.T.astype(object) * c_inv) % q
 
         wt_f, ws_f = w_factor(w_base, np.arange(tile),
                               np.arange(B // tile) * tile, q)
@@ -164,15 +185,22 @@ class MXULargePlan:
             kw = dict(row_plan=None,
                       row_fwd=d_rf, row_fwd_corr=_corr_right(d_rf),
                       row_inv=d_ri, row_inv_corr=_corr_right(d_ri))
-        else:
+        elif logB <= max_row_logn:
             kw = dict(row_plan=MXUMergePlan.from_spec(
                 q, logB, row_root, row_iroot, xnp=False,
                 n_inv=pow(B, q - 2, q)))
+        else:
+            # rows beyond the in-VMEM kernel: recurse (logn 27-28 —
+            # the analog of the reference's extra launches for big N)
+            kw = dict(row_plan=MXULargePlan.from_spec(
+                q, logB, row_root, row_iroot, xnp=False,
+                n_inv=pow(B, q - 2, q), max_row_logn=max_row_logn,
+                **(row_kwargs or {})))
 
         rc = reduction_consts(q, NDIAG)
 
         return MXULargePlan(
-            logn=p.logn, q=q, A=A, B=B, tile=tile,
+            logn=logn, q=q, A=A, B=B, tile=tile,
             col_fwd=col_fwd, col_fwd_corr=_corr_left(col_fwd),
             wt_fwd=pack(wt_f), ws_fwd=pack(ws_f),
             col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
@@ -297,34 +325,43 @@ def _row_matmul_call(x: U64, plan: MXULargePlan, inverse: bool,
     return U64(oh, ol)
 
 
-def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
-                         interpret: bool = False) -> U64:
-    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-23.
-
-    2^24 is excluded by dispatch: the composed col+row program at that
-    size overwhelms the compiler (the XLA engine covers it)."""
+def _row_call(x: U64, plan: MXULargePlan, inverse: bool,
+              interpret: bool) -> U64:
+    """Row-phase dispatch: single right-matmul kernel (B <= 512),
+    the in-VMEM kernel (B <= 2^17), or a nested large plan (beyond)."""
     from .pallas_mxu import pallas_mxu_u64
 
     batch, n = x.hi.shape
     A, B = plan.A, plan.B
+    if plan.row_plan is None:
+        xv = U64(x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+        y = _row_matmul_call(xv, plan, inverse=inverse, interpret=interpret)
+        return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+    rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
+    if isinstance(plan.row_plan, MXULargePlan):
+        y = pallas_mxu_large_u64(rows, plan.row_plan, inverse=inverse,
+                                 interpret=interpret)
+    else:
+        y = pallas_mxu_u64(rows, plan.row_plan, inverse=inverse,
+                           interpret=interpret)
+    return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+
+
+def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
+                         interpret: bool = False) -> U64:
+    """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-28.
+
+    logn <= 23 composes into one program; at logn >= 24 the composed
+    col+row program overwhelms the compiler, so dispatch runs this
+    EAGERLY (outside jit) — each pallas_call then compiles as its own
+    small program, mirroring the reference's multi-launch big-N plans
+    (ntt.cuh:665-698, ntt.cu:2163-2224)."""
+    batch, n = x.hi.shape
     if inverse:
         # rows first (merge_B inverse, B^-1 folded), then W^-1 + columns
-        if plan.row_plan is None:
-            xv = U64(x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
-            y = _row_matmul_call(xv, plan, inverse=True, interpret=interpret)
-            y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
-        else:
-            rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
-            y = pallas_mxu_u64(rows, plan.row_plan, inverse=True,
-                               interpret=interpret)
-            y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+        y = _row_call(x, plan, inverse=True, interpret=interpret)
         z = _col_call(y, plan, inverse=True, interpret=interpret)
         return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
     y = _col_call(x, plan, inverse=False, interpret=interpret)
-    if plan.row_plan is None:
-        yv = U64(y.hi.reshape(batch, A, B), y.lo.reshape(batch, A, B))
-        z = _row_matmul_call(yv, plan, inverse=False, interpret=interpret)
-        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
-    rows = U64(y.hi.reshape(batch * A, B), y.lo.reshape(batch * A, B))
-    z = pallas_mxu_u64(rows, plan.row_plan, interpret=interpret)
-    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+    y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+    return _row_call(y, plan, inverse=False, interpret=interpret)

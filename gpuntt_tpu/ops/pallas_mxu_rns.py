@@ -39,6 +39,15 @@ from .limb import U64
 from .pallas_mxu import (MXUMergePlan, ND, NDIAG, _canon, _modmat_phase,
                          _w_mul_lazy)
 
+
+def _dev(a):
+    """device_put that stays eager under an ambient trace — matching
+    plan_to_device — so stacked tables become runtime buffers rather
+    than multi-MB inline HLO constants when the first (cached) plan
+    build happens inside a user's jit."""
+    with jax.ensure_compile_time_eval():
+        return jax.device_put(a)
+
 N_FIXED = 4  # q, r40, r40s, cadd rows before the chain rows
 
 
@@ -100,7 +109,7 @@ class MXURNSPlan:
                 consts[m, k, 0] = (v >> 32) & 0xFFFFFFFF
                 consts[m, k, 1] = v & 0xFFFFFFFF
 
-        dev = jax.device_put
+        dev = _dev
         return MXURNSPlan(
             logn=p0.logn, A=p0.A, B=p0.B, mod_count=len(plans), chain_len=L,
             fwd_left=dev(stack("fwd_left")),
@@ -259,12 +268,12 @@ class MXULargeRNSPlan:
         L = len(p0.canon_chain)
 
         def stack(field):
-            return jax.device_put(
+            return _dev(
                 np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
 
         def stack_w(field):
             return tuple(
-                jax.device_put(np.stack(
+                _dev(np.stack(
                     [np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
                 for i in range(4))
 
@@ -293,7 +302,7 @@ class MXULargeRNSPlan:
             wt_fwd=stack_w("wt_fwd"), ws_fwd=stack_w("ws_fwd"),
             col_inv=stack("col_inv"), col_inv_corr=stack("col_inv_corr"),
             wt_inv=stack_w("wt_inv"), ws_inv=stack_w("ws_inv"),
-            consts=jax.device_put(consts), **kw,
+            consts=_dev(consts), **kw,
         )
 
 
@@ -509,12 +518,12 @@ class FourStepRNSMXUPlan:
         L = len(chains[0])
 
         def stack(field):
-            return jax.device_put(
+            return _dev(
                 np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
 
         def stack_w(field):
             return tuple(
-                jax.device_put(np.stack(
+                _dev(np.stack(
                     [np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
                 for i in range(4))
 
@@ -542,7 +551,7 @@ class FourStepRNSMXUPlan:
             wt_fwd=stack_w("wt_fwd"), ws_fwd=stack_w("ws_fwd"),
             g1T=stack("g1T"), g1T_corr=stack("g1T_corr"),
             wt_inv=stack_w("wt_inv"), ws_inv=stack_w("ws_inv"),
-            consts=jax.device_put(consts), **kw,
+            consts=_dev(consts), **kw,
         )
 
 
@@ -710,12 +719,12 @@ class MXU32RNSPlan:
             raise ValueError("RNS members must share the (A, B) split")
 
         def stack(field):
-            return jax.device_put(
+            return _dev(
                 np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
 
         def stack_w(field):
             return tuple(
-                jax.device_put(np.stack(
+                _dev(np.stack(
                     [np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
                 for i in range(2))
 
@@ -739,7 +748,7 @@ class MXU32RNSPlan:
             inv_left=stack("inv_left"),
             inv_left_corr=stack("inv_left_corr"),
             w_inv=stack_w("w_inv"),
-            consts=jax.device_put(consts),
+            consts=_dev(consts),
         )
 
 

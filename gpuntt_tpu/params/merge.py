@@ -129,8 +129,8 @@ class NTTParameters:
         q = self.modulus.value
         fwd = _power_table(self.root_of_unity, q, self.root_of_unity_size)
         inv = _power_table(self.inverse_root_of_unity, q, self.root_of_unity_size)
-        self.forward_root_of_unity_table = np.array(fwd, dtype=self.dtype)
-        self.inverse_root_of_unity_table = np.array(inv, dtype=self.dtype)
+        self.forward_root_of_unity_table = np.asarray(fwd, dtype=self.dtype)
+        self.inverse_root_of_unity_table = np.asarray(inv, dtype=self.dtype)
 
         # n^-1 by Fermat (nttparameters.cu:170-173)
         self.n_inv = host.modinv(self.n, self.modulus)

@@ -51,3 +51,22 @@ def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6):
     t_lo = time_chain(fn, x, k_lo, iters)
     t_hi = time_chain(fn, x, k_hi, iters)
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def time_wall(fn, iters=3, repeats=3):
+    """Best-of-repeats wall time per call of an EAGER callable.
+
+    For the staged multi-program routes (merge logn >= 24), which cannot
+    ride inside one jitted chain: includes the per-phase dispatch
+    overhead (~1.5-5 ms on the relay), which is real cost for these
+    paths and small next to their kernel times."""
+    o = fn()
+    fetch_one(o)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = fn()
+        fetch_one(o)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best

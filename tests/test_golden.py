@@ -75,13 +75,24 @@ def test_fourstep_golden_polymul(dtype, rng):
 
 
 def test_fourstep_matches_merge_spectrum(rng):
-    """4-step and merge NTT over the same (modulus, omega) agree up to order.
+    """4-step and merge NTT over the same (modulus, omega) agree up to
+    ordering: both evaluate the polynomial at every N-th root power, so
+    the sorted spectra are identical multisets."""
+    from gpuntt_tpu import NTTFactors
 
-    Both compute the length-N DFT; multisets of spectrum values match when
-    parameters coincide.  We check via round-trip through each other is not
-    required by the reference; instead verify intt_first_transpose is the
-    exact vector_to_matrix_intt loop (ntt_4step_cpu.cu:230-247).
-    """
+    p4 = NTTParameters4Step(12, ReductionPolynomial.X_N_minus,
+                            dtype=np.uint32)
+    pm = NTTParameters(12, ReductionPolynomial.X_N_minus, dtype=np.uint32,
+                       factors=NTTFactors(p4.modulus, p4.omega, p4.psi))
+    x = _random_poly(rng, p4.n, p4.modulus.value, np.uint32)
+    s4 = NTT4StepCPU(p4).ntt(x)
+    sm = NTTCPU(pm).ntt(x)
+    np.testing.assert_array_equal(np.sort(s4), np.sort(sm))
+
+
+def test_intt_first_transpose_is_reference_loop():
+    """intt_first_transpose is the exact vector_to_matrix_intt
+    permutation (ntt_4step_cpu.cu:230-247, :289-299)."""
     p = NTTParameters4Step(12, ReductionPolynomial.X_N_minus, dtype=np.uint32)
     gen = NTT4StepCPU(p)
     x = np.arange(p.n, dtype=np.uint32)

@@ -62,6 +62,56 @@ def test_mxu32_large_parity(poly, rng):
 @pytest.mark.parametrize(
     "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
 )
+def test_mxu_large_recursive_rows(poly, rng):
+    """Rows beyond max_row_logn recurse into a nested MXULargePlan —
+    the production logn 27-28 composition, exercised at a reduced split
+    (A=8, nested A=8) so interpret mode stays cheap."""
+    p = NTTParameters(14, poly, dtype=np.uint64)
+    q = p.modulus.value
+    plan = MXULargePlan.from_spec(
+        q, p.logn, p.root_of_unity, p.inverse_root_of_unity,
+        poly == ReductionPolynomial.X_N_plus, pow(p.n, q - 2, q),
+        a_col=8, max_row_logn=9, row_kwargs=dict(a_col=8))
+    assert isinstance(plan.row_plan, MXULargePlan)
+    assert plan.row_plan.row_plan is None  # nested rows: single matmul
+    gen = NTTCPU(p)
+    x = rng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+    got = from_lanes(
+        pallas_mxu_large_u64(to_lanes(x, True), plan, interpret=True), True)
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+    back = from_lanes(
+        pallas_mxu_large_u64(to_lanes(exp, True), plan, inverse=True,
+                             interpret=True), True)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_mxu_large_bigring_plan_shapes():
+    """Default splits for the logn 24-28 range: A capped at 512 (the
+    diagonal-accumulator exactness bound), rows in the in-VMEM kernel
+    through logn 26, recursion at 27-28."""
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+
+    p24 = NTTParameters(24, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    pl24 = MXULargePlan.from_params(p24)
+    assert (pl24.A, pl24.B) == (256, 1 << 16)
+    assert isinstance(pl24.row_plan, MXUMergePlan)
+    for lg, a_exp in [(25, 512), (26, 512)]:
+        p = NTTParameters(lg, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+        pl = MXULargePlan.from_params(p)
+        assert pl.A == a_exp and pl.A * pl.B == 1 << lg
+        assert isinstance(pl.row_plan, MXUMergePlan)
+    for lg in (27, 28):
+        p = NTTParameters(lg, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+        pl = MXULargePlan.from_params(p)
+        assert pl.A == 512
+        assert isinstance(pl.row_plan, MXULargePlan)
+        assert pl.row_plan.A <= 512
+
+
+@pytest.mark.parametrize(
+    "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
+)
 def test_mxu_large_row_matmul_branch(poly, rng):
     """B <= 512 takes the single-matmul row branch (production: logn 18)."""
     p = NTTParameters(13, poly, dtype=np.uint64)
