@@ -64,6 +64,26 @@ def main():
     achieved_modmuls_per_sec = ntts_per_sec * butterflies_per_ntt
     roofline_frac = achieved_modmuls_per_sec / modmuls_per_sec
 
+    # --- MXU duty cycle (honest utilisation of the systolic array) ---
+    # The routed engine at this shape is the digit-matmul kernel: two
+    # modular matrix phases of 64 int8 digit matmuls each, i.e.
+    # 64*(A^2 B + A B^2) exact MACs per polynomial.  Ideal time at the
+    # v5e int8 peak (394.7 Tops = 197.3e12 MACs/s) over the measured
+    # batch time is the whole-kernel MXU duty cycle — distinct from the
+    # ~94% utilisation *inside* the dot section (docs/DESIGN.md): the
+    # gap is the serialized VPU recombination, which this metric owns
+    # up to instead of hiding.
+    V5E_INT8_MACS = 394.7e12 / 2
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+
+    mxu_duty = None
+    try:
+        mp = MXUMergePlan.from_params(params)
+        macs = 64 * mp.A * mp.B * (mp.A + mp.B) * batch
+        mxu_duty = (macs / V5E_INT8_MACS) / dt
+    except ValueError:
+        pass  # non-MXU-routed shape: no duty cycle to report
+
     dev = jax.devices()[0]
     result = {
         "metric": f"fwd merge NTT 2^{logn} u64 batch {batch}, NTTs/sec/chip",
@@ -73,6 +93,8 @@ def main():
         "detail": {
             "latency_ms_per_batch": round(dt * 1e3, 3),
             "modmul_roofline_frac": round(roofline_frac, 4),
+            "mxu_duty_cycle": (round(mxu_duty, 4)
+                               if mxu_duty is not None else None),
             "peak_vpu_modmuls_per_sec": f"{modmuls_per_sec:.3e}",
             "timing": "marginal in-jit application (k=1 vs k=4 chains)",
             "device": str(dev),

@@ -141,7 +141,11 @@ def _pow_matrix(bases: np.ndarray, q: int, length: int) -> np.ndarray:
 
 def _corr_left(tdig: np.ndarray) -> np.ndarray:
     """Phase with host matrix on the LEFT: dot(T_i, (x-128)_j) misses
-    128 * rowsum(T_i), constant along columns -> (ndiag, A, 1) int32."""
+    128 * rowsum(T_i), constant along columns -> (ndiag, A, 1) int32.
+
+    The diagonal sign offset OFF is folded in here (cancelled later by
+    the cadd constant), so the kernel never spends a vector add on it:
+    accumulators leave the dot loop already non-negative."""
     nd = tdig.shape[0]
     rows = tdig.astype(np.int64).sum(axis=2)  # (nd, A)
     corr = np.zeros((2 * nd - 1, tdig.shape[1], 1), dtype=np.int64)
@@ -149,12 +153,13 @@ def _corr_left(tdig: np.ndarray) -> np.ndarray:
         for j in range(nd):
             corr[i + j, :, 0] += 128 * rows[i]
     assert np.abs(corr).max() < OFF
-    return corr.astype(np.int32)
+    return (corr + OFF).astype(np.int32)
 
 
 def _corr_right(tdig: np.ndarray) -> np.ndarray:
     """Host matrix on the RIGHT: dot((y-128)_j, T_i) misses
-    128 * colsum(T_i), constant along rows -> (ndiag, 1, B') int32."""
+    128 * colsum(T_i), constant along rows -> (ndiag, 1, B') int32.
+    OFF folded in, as in _corr_left."""
     nd = tdig.shape[0]
     cols = tdig.astype(np.int64).sum(axis=1)  # (nd, B')
     corr = np.zeros((2 * nd - 1, 1, tdig.shape[2]), dtype=np.int64)
@@ -162,7 +167,7 @@ def _corr_right(tdig: np.ndarray) -> np.ndarray:
         for j in range(nd):
             corr[i + j, 0, :] += 128 * cols[i]
     assert np.abs(corr).max() < OFF
-    return corr.astype(np.int32)
+    return (corr + OFF).astype(np.int32)
 
 
 def _split_u32(a: np.ndarray):
@@ -425,7 +430,7 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
                     digs[j], t_ref[i], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
             acc = acc + prod
-        a = (acc + OFF).astype(jnp.uint32)  # < 2^29, non-negative
+        a = acc.astype(jnp.uint32)  # corr carries +OFF: < 2^29, non-negative
         k = d % GROUP
         piece = u64_shl(U64(jnp.zeros_like(a), a), 8 * k)
         g = piece if k == 0 else u64_add(g, piece)

@@ -53,6 +53,46 @@ def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6):
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
+def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4):
+    """Marginal per-application time via lax.scan chains, plus a noise
+    bound — for sub-0.1 ms kernels (the reference's batch-1 nvbench
+    scope) where the k=1/k=4 slope drowns in relay dispatch jitter.
+
+    A scan of depth k compiles ONE loop body regardless of k (unlike
+    the unrolled time_chain, whose compile cost made deep chains
+    unusable at logn >= 19), so the measured window (k_hi - k_lo) * t
+    can be pushed far above the ~1-5 ms dispatch variance.  Returns
+    (t_per_application, noise_frac) where noise_frac is the
+    max-minus-min spread of the per-repeat slopes over their median.
+    """
+    import jax
+    from jax import lax
+
+    def chain(k):
+        return jax.jit(lambda v: lax.scan(
+            lambda c, _: (fn(c), None), v, None, length=k)[0])
+
+    c_lo, c_hi = chain(k_lo), chain(k_hi)
+    fetch_one(c_lo(x))
+    fetch_one(c_hi(x))
+
+    def once(cj):
+        t0 = time.perf_counter()
+        o = x
+        for _ in range(iters):
+            o = cj(o)
+        fetch_one(o)
+        return (time.perf_counter() - t0) / iters
+
+    slopes = []
+    for _ in range(repeats):
+        slopes.append(max((once(c_hi) - once(c_lo)) / (k_hi - k_lo), 1e-9))
+    slopes.sort()
+    med = slopes[len(slopes) // 2]
+    noise = (slopes[-1] - slopes[0]) / med
+    return med, noise
+
+
 def time_wall(fn, iters=3, repeats=3):
     """Best-of-repeats wall time per call of an EAGER callable.
 
