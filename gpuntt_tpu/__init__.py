@@ -56,6 +56,10 @@ from .ops.dispatch import (
     ntt_modulus_ordered,
     ntt_poly_ordered,
     ntt_rns,
+    pointwise_mult,
+    pointwise_mult_lanes,
+    polymul,
+    polymul_lanes,
 )
 from .ops.rns import RNSMergePlan
 from .ops.fourstep_rns import (
@@ -111,6 +115,10 @@ __all__ = [
     "ntt_modulus_ordered",
     "ntt_poly_ordered",
     "ntt_rns",
+    "pointwise_mult",
+    "pointwise_mult_lanes",
+    "polymul",
+    "polymul_lanes",
     "RNSMergePlan",
     "RNSFourStepPlan",
     "rns_fourstep_ntt_lanes",

@@ -50,15 +50,11 @@ class PolynomialMultiplier:
     def step_lanes(self, a, b):
         """Jittable lane-representation pipeline.
 
-        Transforms go through the dispatch layer, so on TPU the MXU
-        digit-matmul kernels carry the NTTs."""
-        from ..ops.dispatch import intt_lanes, ntt_lanes
+        Delegates to the dispatch-level fused polymul_lanes, so on TPU
+        the MXU digit-matmul kernels carry the NTTs."""
+        from ..ops.dispatch import polymul_lanes
 
-        plan = self.plan
-        fa = ntt_lanes(a, plan)
-        fb = ntt_lanes(b, plan)
-        fc = pointwise_mult_lanes(fa, fb, plan.q, self.bit, self.mu, plan.is64)
-        return intt_lanes(fc, plan)
+        return polymul_lanes(a, b, self.plan)
 
     def __call__(self, a, b) -> np.ndarray:
         lanes_a = to_lanes(np.asarray(a), self.plan.is64)

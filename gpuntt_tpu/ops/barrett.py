@@ -33,6 +33,7 @@ from .limb import (
     u128_shr_lo64,
     u64_add,
     u64_gte,
+    u64_shl,
     u64_shr,
     u64_sub,
 )
@@ -274,6 +275,14 @@ def shoup_mul64_lazy(x: U64, w: U64, w_shoup: U64, q: U64) -> U64:
     (Shoup bound 2q plus <=1q from the approximate hi)."""
     hi = mul64x64_hi_approx(x, w_shoup)
     return u64_sub(mul64x64_lo(x, w), mul64x64_lo(hi, q))
+
+
+def shoup_pow2_lazy(x: U64, s: int, w_shoup: U64, q: U64) -> U64:
+    """shoup_mul64_lazy specialized to w = 2^s (requires 2^s < q so that
+    2^s mod q IS 2^s): lo64(x * 2^s) is a static shift, saving the
+    16-lane-mul mul64x64_lo.  Same lazy bound (< 3q for any x)."""
+    hi = mul64x64_hi_approx(x, w_shoup)
+    return u64_sub(u64_shl(x, s), mul64x64_lo(hi, q))
 
 
 def cond_sub64(x: U64, c: U64) -> U64:

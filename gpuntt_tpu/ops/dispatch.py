@@ -511,3 +511,56 @@ def intt_poly_ordered(x, plan, order, batch_size: int | None = None,
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
+
+
+# ---------------------------------------------- pointwise mult / polymul
+
+
+def pointwise_mult_lanes(a, b, plan: MergePlan):
+    """Elementwise a*b mod q on the lane representation (jittable).
+
+    Device-side rendition of NTTCPU::mult (ntt_cpu.cu:67-79), which the
+    reference offers host-side only — exact Barrett, reference schedule
+    (modular_arith.cuh:316-338)."""
+    if plan.is64:
+        return bo.barrett_mul64(a, b, plan.q, plan.bit, plan.mu)
+    return bo.barrett_mul32(a, b, plan.q, plan.bit, plan.mu)
+
+
+def pointwise_mult(x, y, plan: MergePlan):
+    """NTT-domain pointwise product over numpy arrays."""
+    xl = to_lanes(np.asarray(x), plan.is64)
+    yl = to_lanes(np.asarray(y), plan.is64)
+    fn = _cached_jit(plan, ("pmult",),
+                     lambda: lambda a, b: pointwise_mult_lanes(a, b, plan))
+    return from_lanes(fn(xl, yl), plan.is64)
+
+
+def polymul_lanes(a, b, plan: MergePlan, use_pallas: bool | str = "auto"):
+    """Fused polynomial multiplication modulo (q, X^N +- 1) on lanes
+    (jittable): INTT(NTT(a) o NTT(b)), cyclic for X_N_minus and
+    negacyclic for X_N_plus — one compiled computation, so XLA overlaps
+    the two forward transforms' dispatch and fuses the pointwise stage."""
+    fa = ntt_lanes(a, plan, use_pallas=use_pallas)
+    fb = ntt_lanes(b, plan, use_pallas=use_pallas)
+    prod = pointwise_mult_lanes(fa, fb, plan)
+    return intt_lanes(prod, plan, use_pallas=use_pallas)
+
+
+def polymul(x, y, plan: MergePlan):
+    """Polynomial multiplication over numpy (batch, N) arrays — the
+    reference example flow (test_cpu_merge_ntt.cu:70-77: ntt, mult,
+    intt) as one fused jitted computation; bit-exact vs
+    schoolbook_poly_multiplication for the plan's reduction polynomial.
+
+    logn 24-28 on TPU composes the staged eager big-N routes instead
+    (one jitted program at those sizes overwhelms the compiler)."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    if plan.logn >= 24:
+        return intt(pointwise_mult(ntt(x, plan), ntt(y, plan), plan), plan)
+    xl = to_lanes(x, plan.is64)
+    yl = to_lanes(y, plan.is64)
+    fn = _cached_jit(plan, ("polymul",),
+                     lambda: lambda a, b: polymul_lanes(a, b, plan))
+    return from_lanes(fn(xl, yl), plan.is64)

@@ -413,6 +413,12 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
     qc = _cu64(consts["q"])
     r40c = _cu64(consts["r40"])
     r40sc = _cu64(consts["r40s"])
+    # every u64 pool prime exceeds 2^40, so the Horner multiplier
+    # 2^40 mod q IS 2^40 and lo64(x * 2^40) is a static shift; the RNS
+    # kernel reads per-modulus consts from SMEM (U64 tracers) and keeps
+    # the generic product
+    pow2_horner = (not isinstance(consts["r40"], U64)
+                   and consts["r40"] == 1 << 40)
 
     groups = []
     g = None
@@ -441,7 +447,9 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
     # Horner over radix-2^40 groups: v = (G2 * 2^40 + G1) * 2^40 + G0
     s = groups[-1]
     for gi in range(len(groups) - 2, -1, -1):
-        s = u64_add(bo.shoup_mul64_lazy(s, r40c, r40sc, qc), groups[gi])
+        m = (bo.shoup_pow2_lazy(s, 40, r40sc, qc) if pow2_horner
+             else bo.shoup_mul64_lazy(s, r40c, r40sc, qc))
+        s = u64_add(m, groups[gi])
     s = u64_add(s, _cu64(consts["cadd"]))
     return s
 

@@ -181,3 +181,47 @@ def test_poly_ordered(dtype, rng):
     # untouched rows pass through
     np.testing.assert_array_equal(got[1], x[1])
     np.testing.assert_array_equal(got[4], x[4])
+
+
+# ------------------------------------------------- pointwise / polymul
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.uint64])
+@pytest.mark.parametrize(
+    "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
+)
+def test_polymul_matches_schoolbook(dtype, poly, rng):
+    """Fused device polymul == schoolbook mod (q, X^N -+ 1) — the
+    reference example flow (test_cpu_merge_ntt.cu:70-77) as one jitted
+    computation, for both reduction polynomials and widths."""
+    from gpuntt_tpu import polymul, schoolbook_poly_multiplication
+
+    p = NTTParameters(9, poly, dtype=dtype)
+    plan = MergePlan.from_params(p)
+    a = rng.integers(0, p.modulus.value, size=(2, p.n),
+                     dtype=np.uint64).astype(dtype)
+    b = rng.integers(0, p.modulus.value, size=(2, p.n),
+                     dtype=np.uint64).astype(dtype)
+    got = polymul(a, b, plan)
+    exp = np.stack([
+        schoolbook_poly_multiplication(a[i], b[i], p.modulus, poly)
+        for i in range(2)
+    ])
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.uint64])
+def test_pointwise_mult_matches_host(dtype, rng):
+    """Device pointwise Barrett product == NTTCPU.mult (ntt_cpu.cu:67-79)."""
+    from gpuntt_tpu import pointwise_mult
+
+    p = NTTParameters(8, ReductionPolynomial.X_N_minus, dtype=dtype)
+    plan = MergePlan.from_params(p)
+    gen = NTTCPU(p)
+    a = rng.integers(0, p.modulus.value, size=(3, p.n),
+                     dtype=np.uint64).astype(dtype)
+    b = rng.integers(0, p.modulus.value, size=(3, p.n),
+                     dtype=np.uint64).astype(dtype)
+    got = pointwise_mult(a, b, plan)
+    exp = np.stack([gen.mult(a[i], b[i]) for i in range(3)])
+    np.testing.assert_array_equal(got, exp)

@@ -81,6 +81,31 @@ def test_mxu_plan_rejects_wide_modulus():
         MXUMergePlan.from_params(FakeParams())
 
 
+def test_mxu_u64_small_modulus_generic_horner(rng):
+    """A u64 plan over q < 2^40 (here the 30-bit prime 754974721) takes
+    the GENERIC Horner product — 2^40 mod q != 2^40 — unlike the pool
+    primes, which all ride the shoup_pow2_lazy shift fast path.  Keeps
+    both Horner branches parity-tested."""
+    from gpuntt_tpu import Modulus, NTTFactors
+
+    q, psi = 754974721, 445365557  # 45*2^24 + 1; psi = 11^((q-1)/1024)
+    omega = pow(psi, 2, q)
+    fac = NTTFactors(Modulus(q), omega, psi)
+    p = NTTParameters(9, ReductionPolynomial.X_N_plus, factors=fac,
+                      dtype=np.uint64)
+    plan = MXUMergePlan.from_params(p)
+    assert plan.r40 != 1 << 40
+    gen = NTTCPU(p)
+    x = rng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+    got = from_lanes(pallas_mxu_u64(to_lanes(x, True), plan,
+                                    interpret=True), True)
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+    back = from_lanes(pallas_mxu_u64(to_lanes(exp, True), plan,
+                                     inverse=True, interpret=True), True)
+    np.testing.assert_array_equal(back, x)
+
+
 @pytest.mark.parametrize(
     "poly", [ReductionPolynomial.X_N_minus, ReductionPolynomial.X_N_plus]
 )
