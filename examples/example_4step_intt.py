@@ -38,11 +38,12 @@ def main():
     x = rng.integers(0, q, size=(batch, p.n), dtype=np.uint64)
 
     # fourstep_intt_full bundles the intt_first_transpose input permute,
-    # the inverse core with fused n^-1, and the final transpose
-    got = from_lanes(
-        jax.jit(lambda v: fourstep_intt_full(v, plan))(to_lanes(x, plan.is64)),
-        plan.is64,
-    )
+    # the inverse core with fused n^-1, and the final transpose.
+    # logn 24 runs eagerly so the MXU route stages each pallas_call as
+    # its own small program (ops/fourstep._mxu_route)
+    fn = (jax.jit(lambda v: fourstep_intt_full(v, plan)) if logn <= 23
+          else (lambda v: fourstep_intt_full(v, plan)))
+    got = from_lanes(fn(to_lanes(x, plan.is64)), plan.is64)
     exp = np.stack([gen.intt(x[i]) for i in range(batch)])
     ok = check_result(got, exp)
 

@@ -39,11 +39,15 @@ def main():
 
     x = rng.integers(0, q, size=(batch, p.n), dtype=np.uint64)
 
-    @jax.jit
     def pipeline(v):
         v = transpose_lanes(v, plan.n1, plan.n2)   # caller-side step 0
         v = fourstep_ntt_lanes(v, plan)            # GPU_4STEP_NTT core
         return transpose_lanes(v, plan.n1, plan.n2)  # caller-side step 4
+
+    if logn <= 23:
+        pipeline = jax.jit(pipeline)
+    # logn 24 runs EAGERLY: the MXU route then stages each pallas_call
+    # as its own small program (see ops/fourstep._mxu_route)
 
     got = from_lanes(pipeline(to_lanes(x, plan.is64)), plan.is64)
     exp = np.stack([gen.ntt(x[i]) for i in range(batch)])

@@ -150,8 +150,16 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     # stage-sweep engine stays ahead until the n2 > 512 sizes (logn 17+)
     lo = 14 if plan.is64 else 17
     q_max = (1 << 60) if plan.is64 else (1 << 30)
+    # logn 24 (MATRIX_DIMENSIONS max, nttparameters.cu:305-354) only
+    # EAGERLY: each pallas_call then compiles as its own small program
+    # (col kernel + 2^16-point row kernel), dodging the compiler limit
+    # that kills composed 2^24 programs — same staging as the merge
+    # big-N route (dispatch._staged_route)
+    leaf = x.hi if plan.is64 else x
+    eager = not isinstance(leaf, jax.core.Tracer)
+    hi = 24 if (plan.is64 and eager) else 23
     if (plan.params is None or plan.q >= q_max
-            or not lo <= plan.logn <= 23 or _jax.default_backend() != "tpu"):
+            or not lo <= plan.logn <= hi or _jax.default_backend() != "tpu"):
         return None
     from . import pallas_mxu_4step as m4
 

@@ -110,3 +110,50 @@ def test_rns_mxu_route_declines_off_tpu(monkeypatch):
     x = np.zeros((2, p.n), dtype=np.uint64)
     assert dispatch._rns_mxu_route(x, plan, np.zeros(2, np.int64),
                                    inverse=False) is None
+
+
+def test_fourstep_logn24_eager_gate(monkeypatch):
+    """logn 24 (MATRIX_DIMENSIONS max) routes to the MXU 4-step engine
+    only when EAGER — each pallas_call then compiles separately; under
+    a trace it declines (composed 2^24 programs overwhelm the
+    compiler), falling to the XLA stage sweep."""
+    import types
+
+    import jax
+    import numpy as np
+
+    from gpuntt_tpu.ops import fourstep as fs
+    from gpuntt_tpu.ops import pallas_mxu_4step as m4
+    from gpuntt_tpu.ops.limb import U64
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(m4, "fourstep_mxu_plan", lambda p: object())
+    monkeypatch.setattr(
+        m4, "fourstep_mxu_lanes",
+        lambda x2, mplan, inverse=False, interpret=False: x2)
+
+    plan = types.SimpleNamespace(params=object(), q=97, logn=24, is64=True)
+    x = U64(*(np.zeros((2, 16), dtype=np.uint32),) * 2)
+
+    assert fs._mxu_route(x, plan, inverse=False) is not None  # eager: routed
+
+    traced_result = []
+
+    @jax.jit
+    def probe(v):
+        traced_result.append(fs._mxu_route(v, plan, inverse=False))
+        return v.hi
+
+    probe(x)
+    assert traced_result == [None]  # traced: declined
+
+    plan23 = types.SimpleNamespace(params=object(), q=97, logn=23, is64=True)
+    traced_result.clear()
+
+    @jax.jit
+    def probe23(v):
+        traced_result.append(fs._mxu_route(v, plan23, inverse=False))
+        return v.hi
+
+    probe23(x)
+    assert traced_result[0] is not None  # <= 23 stays routed under jit
