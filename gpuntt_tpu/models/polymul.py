@@ -71,7 +71,8 @@ class DistPolynomialMultiplier:
     is the two all_to_alls inside each transform.
     """
 
-    def __init__(self, params: NTTParameters4Step, mesh):
+    def __init__(self, params: NTTParameters4Step, mesh,
+                 pipeline_chunks: int = 1):
         if params.poly_reduction != ReductionPolynomial.X_N_minus:
             raise ValueError("4-step polymul diagonalises cyclic convolution "
                              "(X_N_minus) only")
@@ -80,11 +81,13 @@ class DistPolynomialMultiplier:
         self.mesh = mesh
         self.bit = params.modulus.bit
         self.mu = params.modulus.mu
+        self.pipeline_chunks = pipeline_chunks
 
     def step_lanes(self, a, b):
         """Jittable full step: 2 forwards + pointwise + inverse."""
         d = self.dplan
-        fa = dist_fourstep_ntt(a, d, self.mesh)
-        fb = dist_fourstep_ntt(b, d, self.mesh)
+        pc = self.pipeline_chunks
+        fa = dist_fourstep_ntt(a, d, self.mesh, pipeline_chunks=pc)
+        fb = dist_fourstep_ntt(b, d, self.mesh, pipeline_chunks=pc)
         fc = pointwise_mult_lanes(fa, fb, d.base.q, self.bit, self.mu, d.base.is64)
-        return dist_fourstep_intt(fc, d, self.mesh)
+        return dist_fourstep_intt(fc, d, self.mesh, pipeline_chunks=pc)

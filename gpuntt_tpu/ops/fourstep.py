@@ -157,7 +157,7 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     # big-N route (dispatch._staged_route)
     leaf = x.hi if plan.is64 else x
     eager = not isinstance(leaf, jax.core.Tracer)
-    hi = 24 if (plan.is64 and eager) else 23
+    hi = 24 if eager else 23
     if (plan.params is None or plan.q >= q_max
             or not lo <= plan.logn <= hi or _jax.default_backend() != "tpu"):
         return None

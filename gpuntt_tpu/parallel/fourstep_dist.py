@@ -197,20 +197,44 @@ def _resolve_local(dplan: DistFourStepPlan, local_engine):
     return "mxu" if has_mxu and jax.default_backend() == "tpu" else "xla"
 
 
+def _chunked(fn, v, chunks: int):
+    """Run fn over `chunks` independent batch slices (unrolled) and
+    re-concatenate.  Each slice's all_to_all then has no data dependence
+    on the other slices' local NTTs, so XLA's latency-hiding scheduler
+    is free to overlap one chunk's collective with another's compute —
+    the ICI/compute overlap of SURVEY.md §7 hard part (e).  Bit-exact by
+    construction (pure batch split)."""
+    leaves = jax.tree_util.tree_leaves(v)
+    b = leaves[0].shape[0]
+    if chunks <= 1 or b % chunks:
+        return fn(v)
+    step = b // chunks
+    outs = [fn(_tmap(lambda a: a[c * step:(c + 1) * step], v))
+            for c in range(chunks)]
+    return _tmap(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
 def dist_fourstep_ntt(x, dplan: DistFourStepPlan, mesh: Mesh,
                       local_engine: str | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      pipeline_chunks: int = 1):
     """Forward distributed 4-step NTT.
 
     x: lane rep of shape (B, n1, n2), sharded P('dp', None, 'sp').
     Returns the (B, n2, n1) spectrum (reference natural output layout,
     cf. NTT_4STEP_CPU::ntt final transpose), sharded P('dp', None, 'sp').
     local_engine: 'xla' | 'mxu' | None (auto: MXU on TPU where eligible).
+    pipeline_chunks > 1 splits the per-shard batch into that many
+    independent column-NTT -> all_to_all -> row-NTT chains so the
+    compiler can overlap collectives with compute (no-op when the local
+    batch does not divide evenly).
     """
     plan = dplan.base
     local = _resolve_local(dplan, local_engine)
     f = jax.shard_map(
-        lambda v, w, ws: _local_fwd(v, w, ws, plan, dplan, local, interpret),
+        lambda v, w, ws: _chunked(
+            lambda u: _local_fwd(u, w, ws, plan, dplan, local, interpret),
+            v, pipeline_chunks),
         mesh=mesh,
         in_specs=(P("dp", None, "sp"), P(None, "sp"), P(None, "sp")),
         out_specs=P("dp", None, "sp"),
@@ -221,13 +245,17 @@ def dist_fourstep_ntt(x, dplan: DistFourStepPlan, mesh: Mesh,
 
 def dist_fourstep_intt(s, dplan: DistFourStepPlan, mesh: Mesh,
                        local_engine: str | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       pipeline_chunks: int = 1):
     """Inverse distributed 4-step NTT: (B, n2, n1)[P('dp',None,'sp')] ->
-    (B, n1, n2)[P('dp',None,'sp')]; exact inverse of dist_fourstep_ntt."""
+    (B, n1, n2)[P('dp',None,'sp')]; exact inverse of dist_fourstep_ntt.
+    pipeline_chunks as in dist_fourstep_ntt."""
     plan = dplan.base
     local = _resolve_local(dplan, local_engine)
     f = jax.shard_map(
-        lambda v, w, ws: _local_inv(v, w, ws, plan, dplan, local, interpret),
+        lambda v, w, ws: _chunked(
+            lambda u: _local_inv(u, w, ws, plan, dplan, local, interpret),
+            v, pipeline_chunks),
         mesh=mesh,
         in_specs=(P("dp", None, "sp"), P(None, "sp"), P(None, "sp")),
         out_specs=P("dp", None, "sp"),

@@ -113,3 +113,34 @@ def test_dist_local_mxu_routing_bit_exact(rng, monkeypatch):
                                   interpret=True)
     got_x = from_lanes(back_got, True).reshape(batch, p.n)
     np.testing.assert_array_equal(got_x, x)
+
+
+def test_dist_pipeline_chunks_bit_exact(rng):
+    """pipeline_chunks > 1 (independent per-chunk collective/compute
+    chains for XLA overlap, SURVEY §7(e)) changes scheduling freedom,
+    never values; odd local batches fall back to one chain."""
+    p = NTTParameters4Step(12, ReductionPolynomial.X_N_minus,
+                           dtype=np.uint64)
+    dplan = DistFourStepPlan.from_params(p)
+    mesh = make_mesh(dp=2, sp=4)
+    batch = 8  # local batch 4 -> 2 chunks of 2
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n),
+                     dtype=np.uint64)
+    lanes = to_lanes(x.reshape(batch, p.n1, p.n2), True)
+    lanes = _tput(lanes, mesh, P("dp", None, "sp"))
+
+    base = jax.jit(lambda v: dist_fourstep_ntt(v, dplan, mesh))(lanes)
+    piped = jax.jit(lambda v: dist_fourstep_ntt(
+        v, dplan, mesh, pipeline_chunks=2))(lanes)
+    np.testing.assert_array_equal(np.asarray(base.hi), np.asarray(piped.hi))
+    np.testing.assert_array_equal(np.asarray(base.lo), np.asarray(piped.lo))
+
+    back = jax.jit(lambda v: dist_fourstep_intt(
+        v, dplan, mesh, pipeline_chunks=2))(piped)
+    got = from_lanes(back, True).reshape(batch, p.n)
+    np.testing.assert_array_equal(got, x)
+
+    # non-dividing chunk count: silent single-chain fallback, same values
+    odd = jax.jit(lambda v: dist_fourstep_ntt(
+        v, dplan, mesh, pipeline_chunks=3))(lanes)
+    np.testing.assert_array_equal(np.asarray(base.hi), np.asarray(odd.hi))
