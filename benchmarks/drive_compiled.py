@@ -1,0 +1,209 @@
+"""Compiled-route drive log (VERDICT r1 item 3) — run on the real chip.
+
+Drives every MXU route that the interpret-mode suite cannot exercise
+through Mosaic, checks bit-exactness against the golden models, and
+prints one PASS/FAIL line per route.  Complements the example scripts
+(which cover the default-dispatch routes); this file reaches the
+NON-default engines:
+
+  u32-rns-kernel   pallas_mxu32_rns (kept off the default route; see
+                   pallas_mxu_rns.py: measured 0.64x XLA on v5e)
+  u32-mxu          pallas_mxu_u32 single-modulus (non-default)
+  u64-rns-large    pallas_mxu_large_rns_u64 at a production shape
+  percoeff-mxu     PerCoefficient layout through the MXU route
+
+Run routes individually with `python benchmarks/drive_compiled.py
+<route>` or all of them with no argument (sequential — never two TPU
+processes).  `--interpret` forces CPU + Pallas interpret mode at
+reduced shapes — a logic smoke check for when the chip is unavailable
+(and for CI); the compiled shapes stay the default.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+INTERPRET = False
+
+
+def _is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for n < 2^64."""
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _rns_members(logn, dtype):
+    from gpuntt_tpu import (Modulus32, Modulus64, NTTFactors, NTTParameters,
+                            ReductionPolynomial)
+
+    if np.dtype(dtype) == np.uint64:
+        bits, mk = 59, Modulus64
+    else:
+        bits, mk = 29, Modulus32
+    two_n = 2 << logn
+    qs, k = [], (1 << (bits - 1)) // two_n + 1
+    while len(qs) < 3:
+        q = k * two_n + 1
+        k += 1
+        if q.bit_length() == bits and _is_prime(q):
+            qs.append(q)
+    triples = []
+    for q in qs:
+        g = 3
+        while pow(g, (q - 1) // 2, q) == 1:
+            g += 1
+        psi = pow(g, (q - 1) // two_n, q)
+        triples.append((q, pow(psi, 2, q), psi))
+    return [
+        NTTParameters(logn, ReductionPolynomial.X_N_minus, dtype=dtype,
+                      factors=NTTFactors(mk(q), om, ps))
+        for q, om, ps in triples
+    ]
+
+
+def drive_u32_rns(logn=13, batch=6):
+    from gpuntt_tpu import NTTCPU
+    from gpuntt_tpu.ops.pallas_mxu_rns import MXU32RNSPlan, pallas_mxu32_rns
+
+    members = _rns_members(logn, np.uint32)
+    plan = MXU32RNSPlan.from_members(members)
+    gens = [NTTCPU(p) for p in members]
+    rng = np.random.default_rng(3)
+    mod_idx = np.arange(batch, dtype=np.int64) % len(members)
+    x = np.stack([
+        rng.integers(0, members[m].modulus.value, 1 << logn,
+                     dtype=np.uint64).astype(np.uint32)
+        for m in mod_idx
+    ])
+    got = np.asarray(pallas_mxu32_rns(x, plan, mod_idx, interpret=INTERPRET))
+    exp = np.stack([gens[m].ntt(x[b]) for b, m in enumerate(mod_idx)])
+    ok = np.array_equal(got, exp)
+    back = np.asarray(
+        pallas_mxu32_rns(exp, plan, mod_idx, inverse=True,
+                         interpret=INTERPRET))
+    ok = ok and np.array_equal(back, x)
+    return ok, f"2^{logn} x{batch}, 3 moduli, fwd+inv"
+
+
+def drive_u32_mxu(logn=13, batch=8):
+    from gpuntt_tpu import NTTCPU, NTTParameters, ReductionPolynomial
+    from gpuntt_tpu.ops.pallas_mxu32 import MXU32Plan, pallas_mxu_u32
+
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint32)
+    plan = MXU32Plan.from_params(p)
+    gen = NTTCPU(p)
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pallas_mxu_u32(x, plan, interpret=INTERPRET))
+    exp = np.stack([gen.ntt(x[i]) for i in range(batch)])
+    ok = np.array_equal(got, exp)
+    back = np.asarray(
+        pallas_mxu_u32(exp, plan, inverse=True, interpret=INTERPRET))
+    return ok and np.array_equal(back, x), f"2^{logn} x{batch}, fwd+inv"
+
+
+def drive_u64_rns_large(logn=18, batch=6):
+    from gpuntt_tpu import NTTCPU
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+    from gpuntt_tpu.ops.pallas_mxu_rns import (MXULargeRNSPlan,
+                                               pallas_mxu_large_rns_u64)
+
+    members = _rns_members(logn, np.uint64)
+    plan = MXULargeRNSPlan.from_members(members)
+    gens = [NTTCPU(p) for p in members]
+    rng = np.random.default_rng(5)
+    mod_idx = np.arange(batch, dtype=np.int64) % len(members)
+    x = np.stack([
+        rng.integers(0, members[m].modulus.value, 1 << logn, dtype=np.uint64)
+        for m in mod_idx
+    ])
+    got = from_lanes(
+        pallas_mxu_large_rns_u64(to_lanes(x, True), plan, mod_idx,
+                                 interpret=INTERPRET), True)
+    exp = np.stack([gens[m].ntt(x[b]) for b, m in enumerate(mod_idx)])
+    ok = np.array_equal(got, exp)
+    back = from_lanes(
+        pallas_mxu_large_rns_u64(to_lanes(exp, True), plan, mod_idx,
+                                 inverse=True, interpret=INTERPRET), True)
+    return ok and np.array_equal(back, x), f"2^{logn} x{batch}, 3 moduli, fwd+inv"
+
+
+def drive_percoeff(logn=13, batch=128):
+    from gpuntt_tpu import (NTTCPU, NTTLayout, NTTParameters,
+                            ReductionPolynomial, intt, ntt)
+    from gpuntt_tpu.ops.merge_ntt import MergePlan
+
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = MergePlan.from_params(p)
+    gen = NTTCPU(p)
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
+    got = ntt(x.T.copy(), plan, layout=NTTLayout.PerCoefficient)
+    exp = np.stack([gen.ntt(x[i]) for i in range(4)])
+    ok = np.array_equal(got.T[:4], exp)
+    back = intt(got, plan, layout=NTTLayout.PerCoefficient)
+    return ok and np.array_equal(back.T, x), f"2^{logn} x{batch} (N, batch) axis-0"
+
+
+ROUTES = {
+    "u32-rns-kernel": drive_u32_rns,
+    "u32-mxu": drive_u32_mxu,
+    "u64-rns-large": drive_u64_rns_large,
+    "percoeff-mxu": drive_percoeff,
+}
+
+
+def main():
+    global INTERPRET
+    argv = [a for a in sys.argv[1:] if a != "--interpret"]
+    if len(argv) != len(sys.argv) - 1:
+        INTERPRET = True
+        import jax
+
+        # env JAX_PLATFORMS is ignored on this box (axon plugin); the
+        # config update before first backend use is the only way.
+        jax.config.update("jax_platforms", "cpu")
+        # shrink the production-shape route to an interpret-feasible ring
+        ROUTES["u64-rns-large"] = lambda: drive_u64_rns_large(14, 4)
+    import jax
+
+    names = argv or list(ROUTES)
+    print(f"device: {jax.devices()[0]}"
+          + (" [interpret smoke]" if INTERPRET else ""))
+    failed = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            ok, detail = ROUTES[name]()
+        except Exception as e:  # noqa: BLE001 — report and continue
+            ok, detail = False, f"EXCEPTION {type(e).__name__}: {e}"
+        failed += not ok
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail} "
+              f"({time.time() - t0:.1f}s)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
