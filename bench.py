@@ -21,6 +21,7 @@ Mirrors the reference's forward-NTT latency sweep surface
 
 import json
 import os
+import subprocess
 import sys
 
 import numpy as np
@@ -30,7 +31,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gpuntt_tpu.utils.timing import time_marginal  # noqa: E402
 
 
+def _device_probe_ok(timeout_s: int = 300) -> bool:
+    """Probe device enumeration in a subprocess with a hard timeout.
+
+    The axon relay has been observed to wedge such that jax.devices()
+    hangs indefinitely; probing in-process would hang this harness with
+    it.  A failed probe lets main() emit an honest error record instead
+    of hanging the driver."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_probe_ok():
+        print(json.dumps({
+            "metric": "fwd merge NTT u64, NTTs/sec/chip",
+            "value": 0,
+            "unit": "NTTs/sec/chip",
+            "vs_baseline": 0,
+            "error": "device enumeration hung >300s (TPU relay wedged); "
+                     "no measurement possible this run",
+        }))
+        return
     import jax
 
     from gpuntt_tpu import NTTParameters, ReductionPolynomial
@@ -74,15 +101,21 @@ def main():
     # gap is the serialized VPU recombination, which this metric owns
     # up to instead of hiding.
     V5E_INT8_MACS = 394.7e12 / 2
+    from gpuntt_tpu.ops.dispatch import _kernel_path
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+    from gpuntt_tpu.params.merge import NTTLayout
 
     mxu_duty = None
-    try:
-        mp = MXUMergePlan.from_params(params)
-        macs = 64 * mp.A * mp.B * (mp.A + mp.B) * batch
-        mxu_duty = (macs / V5E_INT8_MACS) / dt
-    except ValueError:
-        pass  # non-MXU-routed shape: no duty cycle to report
+    # only meaningful when the timed transform actually ran the MXU
+    # kernel — gate on the dispatch decision, not plan constructibility
+    # (on a CPU backend the plan builds but ntt_lanes runs XLA)
+    if _kernel_path(plan, x.shape, NTTLayout.PerPolynomial) == "mxu":
+        try:
+            mp = MXUMergePlan.from_params(params)
+            macs = 64 * mp.A * mp.B * (mp.A + mp.B) * batch
+            mxu_duty = (macs / V5E_INT8_MACS) / dt
+        except ValueError:
+            pass  # non-MXU-routed shape: no duty cycle to report
 
     dev = jax.devices()[0]
     result = {

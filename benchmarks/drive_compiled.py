@@ -153,10 +153,17 @@ def drive_u64_rns_large(logn=18, batch=6):
 def drive_percoeff(logn=13, batch=128):
     from gpuntt_tpu import (NTTCPU, NTTLayout, NTTParameters,
                             ReductionPolynomial, intt, ntt)
+    from gpuntt_tpu.ops.dispatch import _kernel_path
     from gpuntt_tpu.ops.merge_ntt import MergePlan
 
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     plan = MergePlan.from_params(p)
+    # the claim under test is PerCoefficient-reaches-the-MXU-engines
+    # (dispatch relayouts before path selection): fail rather than
+    # silently drive the XLA engine if dispatch routes elsewhere
+    path = _kernel_path(plan, (batch, p.n), NTTLayout.PerPolynomial)
+    if not INTERPRET and path != "mxu":
+        return False, f"dispatch routed to {path!r}, expected 'mxu'"
     gen = NTTCPU(p)
     rng = np.random.default_rng(6)
     x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
@@ -164,7 +171,9 @@ def drive_percoeff(logn=13, batch=128):
     exp = np.stack([gen.ntt(x[i]) for i in range(4)])
     ok = np.array_equal(got.T[:4], exp)
     back = intt(got, plan, layout=NTTLayout.PerCoefficient)
-    return ok and np.array_equal(back.T, x), f"2^{logn} x{batch} (N, batch) axis-0"
+    route = "XLA smoke" if INTERPRET else f"route {path}"
+    return (ok and np.array_equal(back.T, x),
+            f"2^{logn} x{batch} (N, batch) axis-0, {route}")
 
 
 ROUTES = {

@@ -40,21 +40,46 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
     x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
     lanes = to_lanes(x.astype(dtype) if dtype == np.uint32 else x, plan.is64)
 
+    tpu = jax.default_backend() == "tpu"
     if layout == "coeff":
         # PerCoefficient: (N, batch) buffer, transform along axis 0 —
-        # measures the relayout cost on top of the same engines
+        # measures the relayout cost on top of the same engines.  Same
+        # big-N/XLA guards as the poly branch below: never put the XLA
+        # engine at logn >= 19 inside a k>1 jitted chain (CLAUDE.md).
         import jax.numpy as jnp
+
+        from gpuntt_tpu.ops.dispatch import intt, ntt
 
         lanes = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1),
                                        lanes)
         lo = NTTLayout.PerCoefficient
+        if tpu and logn >= 24:
+            # numpy entry points: staged eager multi-program route
+            xc = np.ascontiguousarray(
+                (x.astype(dtype) if dtype == np.uint32 else x).T)
+            fwd = time_wall(lambda: ntt(xc, plan, layout=lo))
+            inv = time_wall(lambda: intt(xc, plan, layout=lo))
+            return fwd, inv, "wall-clock (PerCoefficient, staged eager)"
+        if tpu and _kernel_path(plan, x.shape,
+                                NTTLayout.PerPolynomial) is None:
+            fwd = time_chain(
+                lambda v: ntt_lanes(v, plan, layout=lo), lanes, k=1)
+            inv = time_chain(
+                lambda v: intt_lanes(v, plan, layout=lo), lanes, k=1)
+            return fwd, inv, "k=1 chain (PerCoefficient, XLA engine)"
+        if batch * (1 << logn) <= (1 << 18):
+            fwd, nf = time_marginal_scan(
+                lambda v: ntt_lanes(v, plan, layout=lo), lanes)
+            inv, ni = time_marginal_scan(
+                lambda v: intt_lanes(v, plan, layout=lo), lanes)
+            return fwd, inv, (f"scan-chain marginal (PerCoefficient, noise "
+                              f"fwd {nf:.0%} inv {ni:.0%})")
         fwd = time_marginal(
             lambda v: ntt_lanes(v, plan, layout=lo), lanes)
         inv = time_marginal(
             lambda v: intt_lanes(v, plan, layout=lo), lanes)
         return fwd, inv, "marginal (PerCoefficient)"
 
-    tpu = jax.default_backend() == "tpu"
     if tpu and plan.is64 and plan.q < (1 << 60) and logn >= 24:
         # staged multi-program route: eager, wall-clock timed
         from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
@@ -92,7 +117,7 @@ def bench_4step(logn: int, dtype, batch: int, rng):
     from gpuntt_tpu.ops.fourstep import (FourStepPlan, fourstep_intt_lanes,
                                          fourstep_ntt_lanes)
     from gpuntt_tpu.ops.merge_ntt import to_lanes
-    from gpuntt_tpu.utils.timing import time_marginal_scan
+    from gpuntt_tpu.utils.timing import time_marginal_scan, time_wall
 
     p = NTTParameters4Step(logn, ReductionPolynomial.X_N_minus, dtype=dtype)
     plan = FourStepPlan.from_params(p)
@@ -100,6 +125,14 @@ def bench_4step(logn: int, dtype, batch: int, rng):
     lanes = to_lanes(x.astype(dtype) if dtype == np.uint32 else x, plan.is64)
     # core-only timing, caller-side transposes excluded — matching the
     # reference bench, which times GPU_4STEP_NTT alone
+    if jax.default_backend() == "tpu" and logn >= 24:
+        # logn 24 routes to the staged MXU engine only EAGERLY (each
+        # pallas_call its own program, fourstep._mxu_route hi gate);
+        # under jit it would fall to the XLA stage sweep, whose k>1
+        # chains take many minutes to compile on the relay (CLAUDE.md)
+        fwd = time_wall(lambda: fourstep_ntt_lanes(lanes, plan))
+        inv = time_wall(lambda: fourstep_intt_lanes(lanes, plan))
+        return fwd, inv, "wall-clock (staged eager route)"
     if batch * (1 << logn) <= (1 << 18):
         fwd, nf = time_marginal_scan(
             lambda v: fourstep_ntt_lanes(v, plan), lanes)

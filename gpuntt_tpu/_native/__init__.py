@@ -82,8 +82,20 @@ def available() -> bool:
 
 
 # ------------------------------------------------ convenience wrappers
+#
+# The native core reduces with Shoup mulmod, which needs 2q < 2^64:
+# every wrapper asserts q < 2^63 so out-of-domain moduli fail loudly
+# instead of returning silently wrong residues.  (The reference's own
+# Barrett is documented only to 62 bits, modular_arith.cuh:66-67.)
+
+def _check_q(q: int) -> None:
+    if q >= 1 << 63:
+        raise ValueError(
+            f"native core needs q < 2^63 (Shoup mulmod domain), got {q}")
+
 
 def power_table(base: int, q: int, n: int) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     out = np.empty(n, dtype=np.uint64)
     lib.power_table_u64(base, q, out, n)
@@ -91,6 +103,7 @@ def power_table(base: int, q: int, n: int) -> np.ndarray:
 
 
 def shoup_table(w: np.ndarray, q: int) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     w = np.ascontiguousarray(w, dtype=np.uint64)
     out = np.empty_like(w)
@@ -99,6 +112,7 @@ def shoup_table(w: np.ndarray, q: int) -> np.ndarray:
 
 
 def ntt_merge(data: np.ndarray, logn: int, table: np.ndarray, q: int, xnp: bool) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     d = np.ascontiguousarray(data, dtype=np.uint64).copy()
     t = np.ascontiguousarray(table, dtype=np.uint64)
@@ -110,6 +124,7 @@ def ntt_merge(data: np.ndarray, logn: int, table: np.ndarray, q: int, xnp: bool)
 
 
 def intt_merge(data: np.ndarray, logn: int, table: np.ndarray, q: int, xnp: bool) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     d = np.ascontiguousarray(data, dtype=np.uint64).copy()
     t = np.ascontiguousarray(table, dtype=np.uint64)
@@ -122,6 +137,7 @@ def intt_merge(data: np.ndarray, logn: int, table: np.ndarray, q: int, xnp: bool
 
 def core_ntt_rows(data2d: np.ndarray, table: np.ndarray, q: int) -> np.ndarray:
     """core_ntt on each row (natural-order half table, X_N_minus indexing)."""
+    _check_q(q)
     lib = get_lib()
     d = np.ascontiguousarray(data2d, dtype=np.uint64).copy()
     rows, size = d.shape
@@ -131,6 +147,7 @@ def core_ntt_rows(data2d: np.ndarray, table: np.ndarray, q: int) -> np.ndarray:
 
 
 def core_intt_rows(data2d: np.ndarray, table: np.ndarray, q: int) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     d = np.ascontiguousarray(data2d, dtype=np.uint64).copy()
     rows, size = d.shape
@@ -140,6 +157,7 @@ def core_intt_rows(data2d: np.ndarray, table: np.ndarray, q: int) -> np.ndarray:
 
 
 def pointwise_mult(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     a = np.ascontiguousarray(a, dtype=np.uint64)
     b = np.ascontiguousarray(b, dtype=np.uint64)
@@ -149,6 +167,7 @@ def pointwise_mult(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
 
 
 def w_table_forward(root: int, q: int, n1: int, n2: int) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     out = np.empty(n1 * n2, dtype=np.uint64)
     lib.w_table_forward_u64(root, q, n1, n2, out)
@@ -156,6 +175,7 @@ def w_table_forward(root: int, q: int, n1: int, n2: int) -> np.ndarray:
 
 
 def w_table_inverse(invroot: int, q: int, n1: int, n2: int) -> np.ndarray:
+    _check_q(q)
     lib = get_lib()
     out = np.empty(n1 * n2, dtype=np.uint64)
     lib.w_table_inverse_u64(invroot, q, n1, n2, out)

@@ -29,15 +29,6 @@ from ..parallel.fourstep_dist import (
 )
 
 
-def pointwise_mult_lanes(a, b, q: int, bit: int, mu: int, is64: bool):
-    """Exact data x data product (OPERATOR_GPU::mult semantics,
-    modular_arith.cuh:312-339) — Barrett, since neither operand is a
-    precomputable constant."""
-    if is64:
-        return bo.barrett_mul64(a, b, q, bit, mu)
-    return bo.barrett_mul32(a, b, q, bit, mu)
-
-
 class PolynomialMultiplier:
     """c = a * b mod (q, X^N +/- 1) via merge NTT (single chip)."""
 
@@ -85,9 +76,11 @@ class DistPolynomialMultiplier:
 
     def step_lanes(self, a, b):
         """Jittable full step: 2 forwards + pointwise + inverse."""
+        from ..ops.dispatch import pointwise_mult_lanes
+
         d = self.dplan
         pc = self.pipeline_chunks
         fa = dist_fourstep_ntt(a, d, self.mesh, pipeline_chunks=pc)
         fb = dist_fourstep_ntt(b, d, self.mesh, pipeline_chunks=pc)
-        fc = pointwise_mult_lanes(fa, fb, d.base.q, self.bit, self.mu, d.base.is64)
+        fc = pointwise_mult_lanes(fa, fb, d.base)
         return dist_fourstep_intt(fc, d, self.mesh, pipeline_chunks=pc)

@@ -516,12 +516,13 @@ def intt_poly_ordered(x, plan, order, batch_size: int | None = None,
 # ---------------------------------------------- pointwise mult / polymul
 
 
-def pointwise_mult_lanes(a, b, plan: MergePlan):
+def pointwise_mult_lanes(a, b, plan):
     """Elementwise a*b mod q on the lane representation (jittable).
 
     Device-side rendition of NTTCPU::mult (ntt_cpu.cu:67-79), which the
     reference offers host-side only — exact Barrett, reference schedule
-    (modular_arith.cuh:316-338)."""
+    (modular_arith.cuh:316-338).  `plan` is any plan carrying
+    q/bit/mu/is64 (MergePlan or FourStepPlan)."""
     if plan.is64:
         return bo.barrett_mul64(a, b, plan.q, plan.bit, plan.mu)
     return bo.barrett_mul32(a, b, plan.q, plan.bit, plan.mu)

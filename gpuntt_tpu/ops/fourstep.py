@@ -51,6 +51,8 @@ class FourStepPlan:
     n2: int
     q: int
     is64: bool
+    bit: int
+    mu: int
     n1_fwd: Any
     n1_fwd_sh: Any
     n2_fwd: Any
@@ -95,6 +97,8 @@ class FourStepPlan:
             n2=p.n2,
             q=q,
             is64=is64,
+            bit=p.modulus.bit,
+            mu=p.modulus.mu,
             n1_fwd=n1f,
             n1_fwd_sh=n1fs,
             n2_fwd=n2f,

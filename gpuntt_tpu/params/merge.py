@@ -69,12 +69,14 @@ def _power_table(base: int, q: int, size: int):
     """[base^0, base^1, ..., base^(size-1)] mod q.
 
     Same values as the sequential Barrett loop (nttparameters.cu:144-168).
-    Uses the native __int128 core when available (q < 2^63 always holds
-    for the supported pools); exact-Python fallback otherwise.
+    Uses the native core when available; exact-Python fallback otherwise.
+    The native core's Shoup mulmod needs 2q < 2^64, so caller-supplied
+    moduli q >= 2^63 (beyond the reference's documented 62-bit Barrett
+    range, modular_arith.cuh:66-67) take the exact-Python path.
     """
     from .. import _native
 
-    if size >= 1 << 10 and _native.available():
+    if size >= 1 << 10 and q < 1 << 63 and _native.available():
         return _native.power_table(base % q, q, size)
     out = [1] * size
     acc = 1
