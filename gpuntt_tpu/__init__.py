@@ -60,8 +60,12 @@ from .ops.dispatch import (
     pointwise_mult_lanes,
     polymul,
     polymul_lanes,
+    rns_pointwise_mult,
+    rns_pointwise_mult_lanes,
+    rns_polymul,
 )
 from .ops.rns import RNSMergePlan
+from .arith.host import crt_reconstruct
 from .ops.fourstep_rns import (
     RNSFourStepPlan,
     rns_fourstep_intt_full,
@@ -119,6 +123,10 @@ __all__ = [
     "pointwise_mult_lanes",
     "polymul",
     "polymul_lanes",
+    "rns_pointwise_mult",
+    "rns_pointwise_mult_lanes",
+    "rns_polymul",
+    "crt_reconstruct",
     "RNSMergePlan",
     "RNSFourStepPlan",
     "rns_fourstep_ntt_lanes",

@@ -83,3 +83,37 @@ def centered_reduction(a: int, m: Modulus) -> int:
     """[0, q) -> [-q/2, q/2) (modular_arith.cuh:387-405)."""
     half = m.value >> 1
     return a - m.value if a > half else a
+
+
+def crt_reconstruct(residues, qs):
+    """Exact CRT lift of RNS residues to Z_{prod(qs)} (host side).
+
+    `residues` is a (..., mod_count, N) array-like of canonical
+    residues (row i modulo qs[i]); returns a (..., N) nested list of
+    Python ints in [0, prod(qs)).  This is the host-side check HE
+    callers pair with the RNS transforms (the reference leaves both
+    the pointwise loop and the lift to the caller).
+    """
+    qs = [int(q) for q in qs]
+    big_q = 1
+    for q in qs:
+        big_q *= q
+    # garner-style precompute: e_i = (Q/q_i) * ((Q/q_i)^-1 mod q_i)
+    es = []
+    for q in qs:
+        m = big_q // q
+        es.append(m * pow(m, -1, q))
+
+    def lift(stack):
+        # stack: sequence of mod_count rows, each length-N
+        rows = [list(map(int, r)) for r in stack]
+        n = len(rows[0])
+        return [sum(e * rows[i][j] for i, e in enumerate(es)) % big_q
+                for j in range(n)]
+
+    import numpy as _np
+
+    arr = _np.asarray(residues, dtype=_np.uint64)
+    if arr.ndim == 2:
+        return lift(arr)
+    return [crt_reconstruct(a, qs) for a in arr]

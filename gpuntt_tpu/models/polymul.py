@@ -54,6 +54,40 @@ class PolynomialMultiplier:
         return from_lanes(out, self.plan.is64)
 
 
+class RNSPolynomialMultiplier:
+    """Residue-wise products over an RNS prime ladder — the HE
+    evaluation workload the RNS engines exist for.
+
+    Operands are (mod_count, N) residue stacks (row i modulo the i-th
+    member's q_i) or (k, mod_count, N) batches of them; the cyclic
+    modulus schedule of the RNS dispatch (ntt.cu RNS kernels,
+    q_index = b % mod_count) matches that row order exactly, so the
+    residue batches ride the single-kernel MXU RNS engines on TPU.
+    `gpuntt_tpu.arith.host.crt_reconstruct` lifts results back to
+    Z_{prod q_i} for host-side checks.
+    """
+
+    def __init__(self, members):
+        from ..ops.rns import RNSMergePlan
+
+        self.plan = RNSMergePlan.from_params(members)
+        self.mod_count = self.plan.mod_count
+        self.qs = self.plan.qs
+
+    def __call__(self, a, b) -> np.ndarray:
+        from ..ops.dispatch import rns_polymul
+
+        a = np.asarray(a)
+        b = np.asarray(b)
+        if a.shape != b.shape or a.shape[-2] != self.mod_count:
+            raise ValueError(
+                f"operands must be (..., {self.mod_count}, N) residue "
+                f"stacks, got {a.shape} and {b.shape}")
+        n = a.shape[-1]
+        out = rns_polymul(a.reshape(-1, n), b.reshape(-1, n), self.plan)
+        return out.reshape(a.shape)
+
+
 class DistPolynomialMultiplier:
     """c = a * b mod (q, X^N - 1) via distributed 4-step NTT.
 

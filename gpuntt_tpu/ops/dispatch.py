@@ -565,3 +565,70 @@ def polymul(x, y, plan: MergePlan):
     fn = _cached_jit(plan, ("polymul",),
                      lambda: lambda a, b: polymul_lanes(a, b, plan))
     return from_lanes(fn(xl, yl), plan.is64)
+
+
+def rns_pointwise_mult_lanes(a, b, plan, mod_idx):
+    """Jittable RNS spectrum product: row r uses modulus mod_idx[r].
+
+    A data x data product needs full Barrett with each modulus' exact
+    (q, bit, mu) — the reference shift schedule is static per modulus —
+    so each member's constants run over the whole batch and rows are
+    mask-selected.  mod_count is small (an HE prime ladder) and the
+    pointwise stage is bandwidth-bound next to the transforms, so the
+    mod_count x ALU overhead is noise; the numpy entry
+    (rns_pointwise_mult) slices per modulus instead and pays nothing."""
+    mod_idx = jnp.asarray(np.asarray(mod_idx))
+    out = None
+    for m, member in enumerate(plan.members):
+        mm = member.modulus
+        if plan.is64:
+            r = bo.barrett_mul64(a, b, mm.value, mm.bit, mm.mu)
+        else:
+            r = bo.barrett_mul32(a, b, mm.value, mm.bit, mm.mu)
+        if out is None:
+            out = r
+        else:
+            mask = (mod_idx == m)[:, None]
+            out = jax.tree_util.tree_map(
+                lambda rr, oo: jnp.where(mask, rr, oo), r, out)
+    return out
+
+
+def _order_mod_idx(batch: int, plan, order):
+    if order is None:
+        return _rns_mod_idx(batch, plan.mod_count)
+    order = np.asarray(order, dtype=np.int64)
+    return order[np.arange(batch) % len(order)]
+
+
+def rns_pointwise_mult(x, y, plan, order=None):
+    """NTT-domain RNS product over numpy arrays (cyclic modulus
+    schedule by default; `order` as in GPU_NTT_Modulus_Ordered).
+
+    Device-side rendition of the per-modulus NTTCPU::mult loop HE
+    callers must otherwise write by hand (the reference offers no RNS
+    pointwise at all)."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    mod_idx = _order_mod_idx(x.shape[0], plan, order)
+    out = np.empty_like(x)
+    for m in range(plan.mod_count):
+        sel = np.nonzero(mod_idx == m)[0]
+        if sel.size:
+            out[sel] = pointwise_mult(x[sel], y[sel],
+                                      _merge_plan_cached(plan.members[m]))
+    return out
+
+
+def rns_polymul(x, y, plan, order=None):
+    """RNS polynomial multiplication — the HE evaluation workload:
+    forward RNS NTT of both operands (single-kernel MXU RNS engines on
+    TPU), per-modulus spectrum product, inverse.  Row r of the batch is
+    a residue polynomial modulo (q_{mod_idx[r]}, X^N +/- 1)."""
+    if order is None:
+        prod = rns_pointwise_mult(ntt_rns(x, plan), ntt_rns(y, plan), plan)
+        return intt_rns(prod, plan)
+    fx = ntt_modulus_ordered(x, plan, order)
+    fy = ntt_modulus_ordered(y, plan, order)
+    prod = rns_pointwise_mult(fx, fy, plan, order=order)
+    return intt_modulus_ordered(prod, plan, order)
