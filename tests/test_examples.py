@@ -45,6 +45,7 @@ def _run(script, *args, env_extra=None):
     ("example_4step_ntt.py", ("12", "2")),
     ("example_4step_intt.py", ("12", "2")),
     ("example_rns_ntt.py", ("12", "4")),
+    ("example_rns_polymul.py", ("8", "2")),
 ])
 def test_example_script(script, args):
     _run(script, *args)
