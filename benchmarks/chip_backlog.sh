@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-2 on-chip measurement backlog — run the moment the relay
+# recovers.  STRICTLY SEQUENTIAL (never two TPU processes, CLAUDE.md);
+# each step under `timeout` so one wedged compile cannot eat the chip
+# window.  Output accumulates in benchmarks/chip_backlog.out for
+# transcription into RESULTS_r2.md.
+#
+#   bash benchmarks/chip_backlog.sh            # full backlog
+#   bash benchmarks/chip_backlog.sh quick      # probe + drives only
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/chip_backlog.out
+log() { echo "=== [$(date +%H:%M:%S)] $*" | tee -a "$OUT"; }
+
+log "device probe"
+if ! timeout 300 python -c "import jax; print(jax.devices())" >> "$OUT" 2>&1; then
+    log "relay still wedged — aborting"
+    exit 1
+fi
+
+log "compiled-route drives (VERDICT item 3)"
+timeout 2400 python benchmarks/drive_compiled.py 2>&1 | tee -a "$OUT"
+
+if [ "${1:-full}" = quick ]; then exit 0; fi
+
+log "verify-skill compiled examples"
+for args in "16 4" "20 2"; do
+    timeout 1200 python examples/example_merge_ntt.py $args 2>&1 | tail -2 | tee -a "$OUT"
+done
+timeout 1200 python examples/example_4step_ntt.py 17 2 2>&1 | tail -2 | tee -a "$OUT"
+timeout 1200 python examples/example_rns_ntt.py 13 6 2>&1 | tail -2 | tee -a "$OUT"
+
+log "headline variants (VERDICT item 2) — own process each"
+for v in base nopow2 nooff; do
+    timeout 1800 python benchmarks/r2_headline.py "$v" 2>&1 | tee -a "$OUT"
+done
+
+log "bench.py headline"
+timeout 1800 python bench.py 2>&1 | tee -a "$OUT"
+
+log "batch-1 latency (reference nvbench scope, VERDICT item 4)"
+timeout 5400 python benchmarks/sweep.py --engine merge --batch 1 \
+    --sizes 12,14,16,18,20,22 --dtypes u64 2>&1 | tee -a "$OUT"
+
+log "staged big-N route: merge 24 (VERDICT item 1) + 4-step 24 (item 8)"
+timeout 3600 python benchmarks/sweep.py --engine merge --sizes 24 \
+    --dtypes u64 --batch 1 2>&1 | tee -a "$OUT"
+timeout 3600 python benchmarks/sweep.py --engine 4step --sizes 24 \
+    --dtypes u64 --batch 1 2>&1 | tee -a "$OUT"
+
+log "PerCoefficient cell (VERDICT weak item 5)"
+timeout 2400 python benchmarks/sweep.py --engine merge --layout coeff \
+    --sizes 12,13,14 --dtypes u64 2>&1 | tee -a "$OUT"
+
+log "backlog complete"
