@@ -118,3 +118,39 @@ class DistPolynomialMultiplier:
         fb = dist_fourstep_ntt(b, d, self.mesh, pipeline_chunks=pc)
         fc = pointwise_mult_lanes(fa, fb, d.base)
         return dist_fourstep_intt(fc, d, self.mesh, pipeline_chunks=pc)
+
+
+class DistRNSPolynomialMultiplier:
+    """Residue-ladder products over a device mesh — the distributed
+    rendition of RNSPolynomialMultiplier (no reference counterpart
+    twice over: single-GPU reference, transforms-only RNS surface).
+
+    Operands are (B, n1, n2) lane blocks sharded P('dp', None, 'sp')
+    whose batch rows cycle through the prime ladder (row b modulo
+    q_{b % mod_count}); all cross-chip traffic is the two all_to_alls
+    inside each transform, and the per-row Barrett spectrum product is
+    local to every shard.
+    """
+
+    def __init__(self, members, mesh):
+        from ..parallel.fourstep_rns_dist import DistRNSFourStepPlan
+
+        for p in members:
+            if p.poly_reduction != ReductionPolynomial.X_N_minus:
+                raise ValueError(
+                    "4-step polymul diagonalises cyclic convolution "
+                    "(X_N_minus) only")
+        self.dplan = DistRNSFourStepPlan.from_members(members)
+        self.mesh = mesh
+        self.mod_count = self.dplan.base.mod_count
+
+    def step_lanes(self, a, b, mod_idx):
+        from ..ops.dispatch import rns_pointwise_mult_lanes
+        from ..parallel.fourstep_rns_dist import (dist_rns_fourstep_intt,
+                                                  dist_rns_fourstep_ntt)
+
+        d = self.dplan
+        fa = dist_rns_fourstep_ntt(a, d, self.mesh, mod_idx)
+        fb = dist_rns_fourstep_ntt(b, d, self.mesh, mod_idx)
+        fc = rns_pointwise_mult_lanes(fa, fb, d.base, mod_idx)
+        return dist_rns_fourstep_intt(fc, d, self.mesh, mod_idx)

@@ -588,9 +588,13 @@ def rns_pointwise_mult_lanes(a, b, plan, mod_idx):
         if out is None:
             out = r
         else:
-            mask = (mod_idx == m)[:, None]
-            out = jax.tree_util.tree_map(
-                lambda rr, oo: jnp.where(mask, rr, oo), r, out)
+            sel = mod_idx == m
+
+            def pick(rr, oo):
+                mask = sel.reshape((-1,) + (1,) * (rr.ndim - 1))
+                return jnp.where(mask, rr, oo)
+
+            out = jax.tree_util.tree_map(pick, r, out)
     return out
 
 
