@@ -31,9 +31,22 @@ timeout 1200 python examples/example_4step_ntt.py 17 2 2>&1 | tail -2 | tee -a "
 timeout 1200 python examples/example_rns_ntt.py 13 6 2>&1 | tail -2 | tee -a "$OUT"
 
 log "headline variants (VERDICT item 2) — own process each"
-for v in base nopow2 nooff; do
+for v in base nopow2; do
     timeout 1800 python benchmarks/r2_headline.py "$v" 2>&1 | tee -a "$OUT"
 done
+# nooff = the pre-OFF-fold kernel: r2_headline.py refuses to simulate
+# it (the fold touches corr tables AND the accumulator cast); measure
+# by checking out the pre-fold pallas_mxu.py, running 'base', and
+# restoring — abort the step (not the backlog) if the tree is dirty
+log "headline variant nooff (pre-fold kernel via git checkout)"
+if git diff --quiet -- gpuntt_tpu/ops/pallas_mxu.py; then
+    git checkout 43fd9c2 -- gpuntt_tpu/ops/pallas_mxu.py
+    timeout 1800 python benchmarks/r2_headline.py base 2>&1 \
+        | sed 's/"variant": "base"/"variant": "nooff"/' | tee -a "$OUT"
+    git checkout HEAD -- gpuntt_tpu/ops/pallas_mxu.py
+else
+    log "SKIP nooff: pallas_mxu.py has uncommitted changes"
+fi
 
 log "bench.py headline"
 timeout 1800 python bench.py 2>&1 | tee -a "$OUT"

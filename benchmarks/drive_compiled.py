@@ -31,55 +31,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 INTERPRET = False
 
 
-def _is_prime(n: int) -> bool:
-    """Deterministic Miller-Rabin for n < 2^64."""
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        if n % p == 0:
-            return n == p
-    d, r = n - 1, 0
-    while d % 2 == 0:
-        d //= 2
-        r += 1
-    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        x = pow(a, d, n)
-        if x in (1, n - 1):
-            continue
-        for _ in range(r - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
-            return False
-    return True
-
-
 def _rns_members(logn, dtype):
     from gpuntt_tpu import (Modulus32, Modulus64, NTTFactors, NTTParameters,
                             ReductionPolynomial)
+
+    from gpuntt_tpu.arith.host import find_ntt_primes, ntt_root_pair
 
     if np.dtype(dtype) == np.uint64:
         bits, mk = 59, Modulus64
     else:
         bits, mk = 29, Modulus32
-    two_n = 2 << logn
-    qs, k = [], (1 << (bits - 1)) // two_n + 1
-    while len(qs) < 3:
-        q = k * two_n + 1
-        k += 1
-        if q.bit_length() == bits and _is_prime(q):
-            qs.append(q)
-    triples = []
-    for q in qs:
-        g = 3
-        while pow(g, (q - 1) // 2, q) == 1:
-            g += 1
-        psi = pow(g, (q - 1) // two_n, q)
-        triples.append((q, pow(psi, 2, q), psi))
-    return [
-        NTTParameters(logn, ReductionPolynomial.X_N_minus, dtype=dtype,
-                      factors=NTTFactors(mk(q), om, ps))
-        for q, om, ps in triples
-    ]
+    out = []
+    for q in find_ntt_primes(bits, logn, 3):
+        om, psi = ntt_root_pair(q, logn)
+        out.append(
+            NTTParameters(logn, ReductionPolynomial.X_N_minus, dtype=dtype,
+                          factors=NTTFactors(mk(q), om, psi)))
+    return out
 
 
 def drive_u32_rns(logn=13, batch=6):

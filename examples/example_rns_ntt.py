@@ -23,49 +23,21 @@ _platform.apply()
 
 import numpy as np
 
-from gpuntt_tpu import (Modulus64, NTTFactors, NTTParameters,
+from gpuntt_tpu import (Modulus64, find_ntt_primes, ntt_root_pair, NTTFactors, NTTParameters,
                         ReductionPolynomial, check_result, intt_rns,
                         ntt_modulus_ordered, intt_modulus_ordered, ntt_rns)
 from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
 from gpuntt_tpu.ops.rns import RNSMergePlan, rns_ntt_lanes
 
 
-def _is_prime(n):
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        if n % p == 0:
-            return n == p
-    d, s = n - 1, 0
-    while d % 2 == 0:
-        d //= 2
-        s += 1
-    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        x = pow(a, d, n)
-        if x in (1, n - 1):
-            continue
-        for _ in range(s - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
-            return False
-    return True
-
-
 def rns_members(logn, count):
-    """`count` distinct ~2^59 NTT-friendly primes with their 2N-th roots."""
-    step = 2 << logn
-    out, k = [], (1 << 59) // step
-    while len(out) < count:
-        q = k * step + 1
-        if _is_prime(q):
-            g = 3
-            while pow(g, (q - 1) // 2, q) == 1:
-                g += 1
-            psi = pow(g, (q - 1) // step, q)
-            out.append(NTTParameters(
-                logn, ReductionPolynomial.X_N_plus, dtype=np.uint64,
-                factors=NTTFactors(Modulus64(q), pow(psi, 2, q), psi)))
-        k += 1
+    """`count` distinct 59-bit NTT-friendly primes with their 2N-th roots."""
+    out = []
+    for q in find_ntt_primes(59, logn, count):
+        om, psi = ntt_root_pair(q, logn)
+        out.append(NTTParameters(
+            logn, ReductionPolynomial.X_N_plus, dtype=np.uint64,
+            factors=NTTFactors(Modulus64(q), om, psi)))
     return out
 
 

@@ -65,7 +65,8 @@ from .ops.dispatch import (
     rns_polymul,
 )
 from .ops.rns import RNSMergePlan
-from .arith.host import crt_reconstruct
+from .arith.host import (crt_reconstruct, find_ntt_primes,
+                         is_prime_u64, ntt_root_pair)
 from .ops.fourstep_rns import (
     RNSFourStepPlan,
     rns_fourstep_intt_full,
@@ -127,6 +128,9 @@ __all__ = [
     "rns_pointwise_mult_lanes",
     "rns_polymul",
     "crt_reconstruct",
+    "find_ntt_primes",
+    "is_prime_u64",
+    "ntt_root_pair",
     "RNSMergePlan",
     "RNSFourStepPlan",
     "rns_fourstep_ntt_lanes",

@@ -106,6 +106,10 @@ def crt_reconstruct(residues, qs):
 
     def lift(stack):
         # stack: sequence of mod_count rows, each length-N
+        if len(stack) != len(qs):
+            raise ValueError(
+                f"residue stack has {len(stack)} rows for {len(qs)} moduli "
+                f"(expected a (..., mod_count, N) layout)")
         rows = [list(map(int, r)) for r in stack]
         n = len(rows[0])
         return [sum(e * rows[i][j] for i, e in enumerate(es)) % big_q
@@ -117,3 +121,63 @@ def crt_reconstruct(residues, qs):
     if arr.ndim == 2:
         return lift(arr)
     return [crt_reconstruct(a, qs) for a in arr]
+
+
+# ------------------------------------------- NTT-friendly prime search
+#
+# The reference ships fixed prime pools (nttparameters.cu:84-142); RNS
+# tests, examples, and fuzzing need ARBITRARY ladders of NTT-friendly
+# primes, and the derivation loop was copy-pasted nine times across the
+# tree before living here.
+
+def is_prime_u64(n: int) -> bool:
+    """Deterministic Miller-Rabin, exact for n < 2^64."""
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def find_ntt_primes(bits: int, logn: int, count: int) -> list[int]:
+    """`count` distinct `bits`-bit primes q = k * 2^(logn+1) + 1 (so a
+    2N-th root of unity exists), ascending from the bottom of the
+    bit range."""
+    step = 2 << logn
+    out, k = [], max(1, ((1 << (bits - 1)) - 1) // step + 1)
+    while len(out) < count:
+        q = k * step + 1
+        k += 1
+        if q.bit_length() > bits:
+            raise ValueError(
+                f"fewer than {count} {bits}-bit NTT primes for logn {logn}")
+        if q.bit_length() == bits and is_prime_u64(q):
+            out.append(q)
+    return out
+
+
+def ntt_root_pair(q: int, logn: int) -> tuple[int, int]:
+    """(omega, psi) for modulus q: psi a primitive 2N-th root of unity
+    (from the smallest generator), omega = psi^2 — the NTTFactors
+    convention (nttparameters.cuh:38-54)."""
+    two_n = 2 << logn
+    if (q - 1) % two_n:
+        raise ValueError(f"q = {q} has no 2^{logn + 1}-th root of unity")
+    g = 3
+    while pow(g, (q - 1) // 2, q) == 1:
+        g += 1
+    psi = pow(g, (q - 1) // two_n, q)
+    return pow(psi, 2, q), psi

@@ -79,7 +79,7 @@ class RNSPolynomialMultiplier:
 
         a = np.asarray(a)
         b = np.asarray(b)
-        if a.shape != b.shape or a.shape[-2] != self.mod_count:
+        if a.ndim < 2 or a.shape != b.shape or a.shape[-2] != self.mod_count:
             raise ValueError(
                 f"operands must be (..., {self.mod_count}, N) residue "
                 f"stacks, got {a.shape} and {b.shape}")

@@ -369,6 +369,27 @@ def _mxu_rns_plan_cached(plan, large: bool):
     return cache[key]
 
 
+def _rns_cached_jit(plan, key, maker):
+    """Cached jit for RNS entry points, hosted on members[0] (the plan
+    dataclasses are frozen) — same role as _cached_jit for MergePlan:
+    without it every ntt_rns/intt_rns call would rebuild a fresh
+    jax.jit closure and pay a full retrace+recompile (the advertised
+    HE workload calls these per evaluation step)."""
+    host = plan.members[0] if getattr(plan, "members", None) else None
+    if host is None:
+        return jax.jit(maker())
+    cache = getattr(host, "_rns_jit_cache", None)
+    if cache is None:
+        cache = {}
+        host._rns_jit_cache = cache
+    full = (plan.logn, plan.qs, getattr(plan, "reduction_poly", None),
+            tuple((m.root_of_unity, m.poly_reduction)
+                  for m in plan.members)) + key
+    if full not in cache:
+        cache[full] = jax.jit(maker())
+    return cache[full]
+
+
 def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
     """MXU transforms for RNS batches on TPU.
 
@@ -422,8 +443,9 @@ def ntt_rns(x, plan, cfg: NTTConfig | None = None):
     if routed is not None:
         return routed
     lanes = to_lanes(x, plan.is64)
-    out = jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes)
-    return from_lanes(out, plan.is64)
+    fn = _rns_cached_jit(plan, ("ntt_rns", tuple(mod_idx.tolist())),
+                         lambda: lambda v: rns_ntt_lanes(v, plan, mod_idx))
+    return from_lanes(fn(lanes), plan.is64)
 
 
 def intt_rns(x, plan, cfg: NTTConfig | None = None):
@@ -436,8 +458,9 @@ def intt_rns(x, plan, cfg: NTTConfig | None = None):
     if routed is not None:
         return routed
     lanes = to_lanes(x, plan.is64)
-    out = jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes)
-    return from_lanes(out, plan.is64)
+    fn = _rns_cached_jit(plan, ("intt_rns", tuple(mod_idx.tolist())),
+                         lambda: lambda v: rns_intt_lanes(v, plan, mod_idx))
+    return from_lanes(fn(lanes), plan.is64)
 
 
 def ntt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
@@ -452,8 +475,9 @@ def ntt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
     if routed is not None:
         return routed
     lanes = to_lanes(x, plan.is64)
-    out = jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes)
-    return from_lanes(out, plan.is64)
+    fn = _rns_cached_jit(plan, ("ntt_rns", tuple(mod_idx.tolist())),
+                         lambda: lambda v: rns_ntt_lanes(v, plan, mod_idx))
+    return from_lanes(fn(lanes), plan.is64)
 
 
 def intt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
@@ -466,8 +490,9 @@ def intt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
     if routed is not None:
         return routed
     lanes = to_lanes(x, plan.is64)
-    out = jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes)
-    return from_lanes(out, plan.is64)
+    fn = _rns_cached_jit(plan, ("intt_rns", tuple(mod_idx.tolist())),
+                         lambda: lambda v: rns_intt_lanes(v, plan, mod_idx))
+    return from_lanes(fn(lanes), plan.is64)
 
 
 def ntt_poly_ordered(x, plan, order, batch_size: int | None = None,
@@ -485,9 +510,10 @@ def ntt_poly_ordered(x, plan, order, batch_size: int | None = None,
     out = _rns_mxu_route(x[sel], plan, mod_idx, inverse=False)
     if out is None:
         lanes = to_lanes(x[sel], plan.is64)
-        out = from_lanes(
-            jax.jit(lambda v: rns_ntt_lanes(v, plan, mod_idx))(lanes),
-            plan.is64)
+        fn = _rns_cached_jit(
+            plan, ("ntt_rns", tuple(mod_idx.tolist())),
+            lambda: lambda v: rns_ntt_lanes(v, plan, mod_idx))
+        out = from_lanes(fn(lanes), plan.is64)
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
@@ -505,9 +531,10 @@ def intt_poly_ordered(x, plan, order, batch_size: int | None = None,
     out = _rns_mxu_route(x[sel], plan, mod_idx, inverse=True)
     if out is None:
         lanes = to_lanes(x[sel], plan.is64)
-        out = from_lanes(
-            jax.jit(lambda v: rns_intt_lanes(v, plan, mod_idx))(lanes),
-            plan.is64)
+        fn = _rns_cached_jit(
+            plan, ("intt_rns", tuple(mod_idx.tolist())),
+            lambda: lambda v: rns_intt_lanes(v, plan, mod_idx))
+        out = from_lanes(fn(lanes), plan.is64)
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
@@ -602,6 +629,9 @@ def _order_mod_idx(batch: int, plan, order):
     if order is None:
         return _rns_mod_idx(batch, plan.mod_count)
     order = np.asarray(order, dtype=np.int64)
+    if order.size and (order.min() < 0 or order.max() >= plan.mod_count):
+        raise ValueError(
+            f"order entries must be in [0, {plan.mod_count}), got {order}")
     return order[np.arange(batch) % len(order)]
 
 

@@ -12,20 +12,18 @@ from gpuntt_tpu import (Modulus32, Modulus64, NTT4StepCPU, NTTFactors,
                         NTTParameters4Step, ReductionPolynomial,
                         RNSFourStepPlan, rns_fourstep_intt_full,
                         rns_fourstep_ntt_full)
+from gpuntt_tpu.arith.host import find_ntt_primes, ntt_root_pair
 from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
 
 LOGN = 12
 
 
 def _member(q, logn, dtype):
-    g = 3
-    while pow(g, (q - 1) // 2, q) == 1:
-        g += 1
-    psi = pow(g, (q - 1) // (2 << logn), q)
+    om, psi = ntt_root_pair(q, logn)
     mk = Modulus64 if np.dtype(dtype) == np.uint64 else Modulus32
     return NTTParameters4Step(
         logn, ReductionPolynomial.X_N_minus, dtype=dtype,
-        factors=NTTFactors(mk(q), pow(psi, 2, q), psi))
+        factors=NTTFactors(mk(q), om, psi))
 
 
 _QS = {
@@ -65,36 +63,6 @@ def test_rns_fourstep_rejects_mixed_shapes():
         RNSFourStepPlan.from_params([a, b])
 
 
-def _is_prime(n):
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        if n % p == 0:
-            return n == p
-    d, s = n - 1, 0
-    while d % 2 == 0:
-        d //= 2
-        s += 1
-    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        x = pow(a, d, n)
-        if x in (1, n - 1):
-            continue
-        for _ in range(s - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
-            return False
-    return True
-
-
-def _find_primes(logn, count):
-    step = 2 << logn
-    out, k = [], (1 << 59) // step
-    while len(out) < count:
-        q = k * step + 1
-        if _is_prime(q):
-            out.append(q)
-        k += 1
-    return out
 
 
 @pytest.mark.parametrize("logn", [14, 17])
@@ -108,7 +76,7 @@ def test_rns_fourstep_mxu_parity(logn, rng):
     from gpuntt_tpu.ops.pallas_mxu_rns import (FourStepRNSMXUPlan,
                                                fourstep_mxu_rns_lanes)
 
-    members = [_member(q, logn, np.uint64) for q in _find_primes(logn, 2)]
+    members = [_member(q, logn, np.uint64) for q in find_ntt_primes(59, logn, 2)]
     plan = RNSFourStepPlan.from_params(members)
     mplan = FourStepRNSMXUPlan.from_members(members)
     assert (mplan.row_rns is None) == (logn == 14)

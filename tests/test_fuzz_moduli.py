@@ -11,6 +11,7 @@ Horner fast path, lazy bounds) stay honest off the pools.
 import numpy as np
 import pytest
 
+from gpuntt_tpu.arith.host import is_prime_u64
 from gpuntt_tpu import (
     Modulus,
     NTTCPU,
@@ -19,30 +20,6 @@ from gpuntt_tpu import (
     ReductionPolynomial,
 )
 from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
-
-
-def _is_prime(n: int) -> bool:
-    """Deterministic Miller-Rabin for n < 2^64 (fixed base set)."""
-    if n < 2:
-        return False
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        if n % p == 0:
-            return n == p
-    d, r = n - 1, 0
-    while d % 2 == 0:
-        d //= 2
-        r += 1
-    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        x = pow(a, d, n)
-        if x in (1, n - 1):
-            continue
-        for _ in range(r - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
-            return False
-    return True
 
 
 def _find_ntt_prime(bits: int, logn: int, seed: int):
@@ -54,7 +31,7 @@ def _find_ntt_prime(bits: int, logn: int, seed: int):
         k = int(rng.integers(1 << (bits - logn - 2),
                              1 << (bits - logn - 1)))
         q = k * two_n + 1
-        if q.bit_length() != bits or not _is_prime(q):
+        if q.bit_length() != bits or not is_prime_u64(q):
             continue
         # psi = g^((q-1)/2N) for g not a QR-degenerate base: require
         # full order 2N (psi^N == -1)

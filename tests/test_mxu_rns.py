@@ -13,18 +13,16 @@ from gpuntt_tpu import (Modulus64, NTTFactors, NTTParameters,
                         ReductionPolynomial)
 from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
 from gpuntt_tpu.ops.pallas_mxu_rns import MXURNSPlan, pallas_mxu_rns_u64
+from gpuntt_tpu.arith.host import find_ntt_primes, ntt_root_pair
 from gpuntt_tpu.ops.rns import RNSMergePlan, rns_intt_lanes, rns_ntt_lanes
 
 LOGN = 12
 
 
 def _member(q, logn, poly):
-    g = 3
-    while pow(g, (q - 1) // 2, q) == 1:
-        g += 1
-    psi = pow(g, (q - 1) // (2 << logn), q)
+    om, psi = ntt_root_pair(q, logn)
     return NTTParameters(logn, poly, dtype=np.uint64,
-                         factors=NTTFactors(Modulus64(q), pow(psi, 2, q), psi))
+                         factors=NTTFactors(Modulus64(q), om, psi))
 
 
 @pytest.fixture(scope="module")
@@ -73,37 +71,6 @@ def test_rns_mxu_plan_rejects_mixed_splits():
             [a, _member(576460752303439873, 13, poly)])
 
 
-def _is_prime(n):
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        if n % p == 0:
-            return n == p
-    d, s = n - 1, 0
-    while d % 2 == 0:
-        d //= 2
-        s += 1
-    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        x = pow(a, d, n)
-        if x in (1, n - 1):
-            continue
-        for _ in range(s - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
-            return False
-    return True
-
-
-def _find_primes(logn, count):
-    """NTT-friendly ~2^59 primes q = k*2^(logn+1) + 1."""
-    step = 2 << logn
-    out, k = [], (1 << 59) // step
-    while len(out) < count:
-        q = k * step + 1
-        if _is_prime(q):
-            out.append(q)
-        k += 1
-    return out
 
 
 @pytest.mark.parametrize("logn", [14, 17])
@@ -116,7 +83,7 @@ def test_large_ring_rns_parity(logn, rng):
                                                pallas_mxu_large_rns_u64)
 
     poly = ReductionPolynomial.X_N_plus
-    members = [_member(q, logn, poly) for q in _find_primes(logn, 2)]
+    members = [_member(q, logn, poly) for q in find_ntt_primes(59, logn, 2)]
     plan = RNSMergePlan.from_params(members)
     lplan = MXULargeRNSPlan.from_members(members)
     assert (lplan.row_rns is None) == (logn == 14)
@@ -147,13 +114,10 @@ def test_u32_rns_single_kernel_parity(rng):
     from gpuntt_tpu.ops.pallas_mxu_rns import MXU32RNSPlan, pallas_mxu32_rns
 
     def member32(q, logn):
-        g = 3
-        while pow(g, (q - 1) // 2, q) == 1:
-            g += 1
-        psi = pow(g, (q - 1) // (2 << logn), q)
+        om, psi = ntt_root_pair(q, logn)
         return NTTParameters(
             logn, ReductionPolynomial.X_N_plus, dtype=np.uint32,
-            factors=NTTFactors(Modulus32(q), pow(psi, 2, q), psi))
+            factors=NTTFactors(Modulus32(q), om, psi))
 
     members = [member32(q, LOGN) for q in (268460033, 268582913, 268664833)]
     plan = RNSMergePlan.from_params(members)

@@ -24,30 +24,9 @@ from gpuntt_tpu import (
     rns_pointwise_mult,
     rns_polymul,
 )
+from gpuntt_tpu.arith.host import find_ntt_primes, ntt_root_pair
 from gpuntt_tpu.models.polymul import RNSPolynomialMultiplier
 from gpuntt_tpu.reference.schoolbook import schoolbook_poly_multiplication
-
-
-def _is_prime(n: int) -> bool:
-    """Deterministic Miller-Rabin for n < 2^64."""
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        if n % p == 0:
-            return n == p
-    d, r = n - 1, 0
-    while d % 2 == 0:
-        d //= 2
-        r += 1
-    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
-        x = pow(a, d, n)
-        if x in (1, n - 1):
-            continue
-        for _ in range(r - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
-            return False
-    return True
 
 
 def _members(logn, count, dtype, poly=ReductionPolynomial.X_N_minus):
@@ -57,22 +36,12 @@ def _members(logn, count, dtype, poly=ReductionPolynomial.X_N_minus):
 
     bits = 59 if np.dtype(dtype) == np.uint64 else 29
     mk = Modulus64 if np.dtype(dtype) == np.uint64 else Modulus32
-    step = 2 << logn
-    qs, k = [], (1 << (bits - 1)) // step + 1
-    while len(qs) < count:
-        q = k * step + 1
-        k += 1
-        if q.bit_length() == bits and _is_prime(q):
-            qs.append(q)
     out = []
-    for q in qs:
-        g = 3
-        while pow(g, (q - 1) // 2, q) == 1:
-            g += 1
-        psi = pow(g, (q - 1) // step, q)
+    for q in find_ntt_primes(bits, logn, count):
+        om, psi = ntt_root_pair(q, logn)
         out.append(
             NTTParameters(logn, poly, dtype=dtype,
-                          factors=NTTFactors(mk(q), pow(psi, 2, q), psi)))
+                          factors=NTTFactors(mk(q), om, psi)))
     return out
 
 
