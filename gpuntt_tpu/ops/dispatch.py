@@ -58,7 +58,7 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
 
     64-bit data routes to the MXU digit-matmul kernel (pallas_mxu.py)
     — measured 2.1x over the XLA butterfly engine at 2^16 b128 on v5e
-    — when the modulus fits its q < 2^60 bound; 32-bit batched
+    — when the modulus fits its q < 2^62 bound; 32-bit batched
     PerPolynomial transforms take the roll-based VPU kernel; everything
     else takes the XLA engine."""
     import jax
@@ -70,7 +70,7 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
     if plan.params is None:
         return None
     if plan.is64:
-        if plan.q < (1 << 60):
+        if plan.q < (1 << 62):
             if 12 <= plan.logn <= 17:
                 return "mxu"
             # logn 24-28 exceeds what the compiler handles as one
@@ -242,7 +242,7 @@ def _staged_route(x_lanes, plan: MergePlan, layout, inverse: bool,
     import jax as _jax
 
     if (_jax.default_backend() != "tpu" or not plan.is64
-            or plan.params is None or plan.q >= (1 << 60)
+            or plan.params is None or plan.q >= (1 << 62)
             or not 24 <= plan.logn <= 28):
         return None
     shape = jax.tree_util.tree_leaves(x_lanes)[0].shape

@@ -153,7 +153,7 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     # measured on v5e: the u64 MXU engine wins from logn 14; for u32 the
     # stage-sweep engine stays ahead until the n2 > 512 sizes (logn 17+)
     lo = 14 if plan.is64 else 17
-    q_max = (1 << 60) if plan.is64 else (1 << 30)
+    q_max = (1 << 62) if plan.is64 else (1 << 30)
     # logn 24 (MATRIX_DIMENSIONS max, nttparameters.cu:305-354) only
     # EAGERLY: each pallas_call then compiles as its own small program
     # (col kernel + 2^16-point row kernel), dodging the compiler limit

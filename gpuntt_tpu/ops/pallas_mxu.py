@@ -18,15 +18,17 @@ matmuls on the MXU:
     the offset's contribution is linear, so it folds into per-diagonal
     correction vectors precomputed on the host;
   - 15 diagonal int32 accumulators (|acc| < 2^28 for A <= 512, exact);
-  - diagonals recombine into three u64 groups (radix 2^40) and reduce
-    with a 2-step Horner of lazy Shoup multiplies by (2^40 mod q) —
-    so the only per-element VPU work is byte extraction, the group
-    carries, two lazy Shoup products, and one final canonicalization.
+  - diagonals recombine into three u64 groups (radix 2^40; wide moduli
+    in [2^60, 2^62) take four radix-2^32 groups, see combine_mode) and
+    reduce with a short Horner of lazy Shoup multiplies by the group
+    radix — so the only per-element VPU work is byte extraction, the
+    group carries, the Horner Shoup products, and one final
+    canonicalization.
 
 Everything is exact integer arithmetic end-to-end; outputs are
 bit-identical to merge_ntt_lanes and hence to the reference GPU_NTT
-(ntt.cu:2076-2256).  Requires q < 2^60 (all reference pool primes
-qualify; larger moduli fall back to the VPU kernels).
+(ntt.cu:2076-2256).  Covers the reference's full documented Barrett
+domain q < 2^62 (modular_arith.cuh:66-67).
 
 W-scaling between the phases is one lazy Shoup multiply; the inverse
 folds n^-1 into the inverse column matrix (last factor applied),
@@ -55,6 +57,21 @@ ND = 8                 # radix-256 digits per operand
 NDIAG = 2 * ND - 1     # 15
 OFF = 1 << 28          # diagonal sign offset (|acc| < 2^28 for A <= 512)
 GROUP = 5              # diagonals per u64 group (radix 2^40 groups)
+GROUP_WIDE = 4         # wide-q (2^60..2^62) grouping: radix 2^32 groups
+
+
+def combine_mode(q: int) -> tuple[int, bool]:
+    """(diagonals per group, trim?) for a modulus.
+
+    q < 2^60 takes five-diagonal radix-2^40 groups (2 Horner steps).
+    The wide range [2^60, 2^62) — the rest of the reference's documented
+    Barrett domain (modular_arith.cuh:66-67) — switches to four-diagonal
+    radix-2^32 groups: the group values shrink to < 2^53.01, keeping
+    every lazy sum below 2^64 for q < 2^62, at the cost of one more
+    Horner step plus a trimming conditional subtract on the last one
+    (see _modmat_phase)."""
+    wide = q >= (1 << 60)
+    return (GROUP_WIDE if wide else GROUP), wide
 
 
 # ------------------------------------------------------------- host tables
@@ -80,25 +97,34 @@ def balanced_digits(t: np.ndarray, nd: int = ND) -> np.ndarray:
 
 def reduction_consts(q: int, ndiag: int) -> dict:
     """Shared diagonal-recombination constants for every digit-matmul
-    engine: radix-2^40 Horner multiplier (+ Shoup companion), the
-    constant cancelling the per-diagonal OFF placements, the
-    Barrett-by-one companion, and the final canonicalisation chain."""
-    r40 = (1 << 40) % q
+    engine: the group radix (see combine_mode), the Horner multiplier
+    (+ Shoup companion), the constant cancelling the per-diagonal OFF
+    placements, the Barrett-by-one companion, and the final
+    canonicalisation chain."""
+    group, trim = combine_mode(q)
+    radix = (1 << (8 * group)) % q
     offtot = 0
     for d in range(ndiag):
-        g, k = divmod(d, GROUP)
-        offtot += (OFF << (8 * k)) << (40 * g)
-    gmax = sum((2 * OFF) << (8 * k) for k in range(GROUP))
-    smax = 4 * q + gmax
+        g, k = divmod(d, group)
+        offtot += (OFF << (8 * k)) << (8 * group * g)
+    gmax = sum((2 * OFF) << (8 * k) for k in range(group))
+    # phase output bound: trimmed wide plans sum (<2q lazy) + group +
+    # cadd < 3q + gmax; classic plans (<3q lazy) + group + cadd < 4q + gmax
+    smax = (3 if trim else 4) * q + gmax
     m = 1
     while m * q <= smax:
         m *= 2
     chain = []
     while m >= 1:
-        chain.append(m)
+        # entries whose multiple exceeds the word can never fire
+        # (s < 2^64 <= m*q) and their constant would not fit; the next
+        # kept entry k still canonicalises since s < 2^64 <= 2*k*q
+        if m * q < (1 << 64):
+            chain.append(m)
         m //= 2
-    return dict(q=q, r40=r40, r40s=(r40 << 64) // q, cadd=(-offtot) % q,
-                one_s=(1 << 64) // q, chain=tuple(chain))
+    return dict(q=q, r40=radix, r40s=(radix << 64) // q,
+                cadd=(-offtot) % q, one_s=(1 << 64) // q,
+                chain=tuple(chain), group=group, trim=trim)
 
 
 def _row_pows(base: int, exps, q: int) -> np.ndarray:
@@ -259,8 +285,8 @@ class MXUMergePlan:
 
         plus omega^(n a2 br(b')) = 1 to kill the cross term.
         """
-        if q >= 1 << 60:
-            raise ValueError("MXU path requires q < 2^60")
+        if q >= 1 << 62:
+            raise ValueError("MXU path requires q < 2^62")
         n = 1 << logn
         if pow(omega, n, q) != 1 or (omega * iomega) % q != 1 \
                 or (psi * ipsi) % q != 1:
@@ -413,12 +439,14 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
     qc = _cu64(consts["q"])
     r40c = _cu64(consts["r40"])
     r40sc = _cu64(consts["r40s"])
-    # every u64 pool prime exceeds 2^40, so the Horner multiplier
-    # 2^40 mod q IS 2^40 and lo64(x * 2^40) is a static shift; the RNS
-    # kernel reads per-modulus consts from SMEM (U64 tracers) and keeps
-    # the generic product
+    group = consts.get("group", GROUP)
+    shift = 8 * group
+    # every u64 pool prime exceeds the group radix, so the Horner
+    # multiplier 2^shift mod q IS 2^shift and lo64(x << shift) is a
+    # static shift; the RNS kernel reads per-modulus consts from SMEM
+    # (U64 tracers) and keeps the generic product
     pow2_horner = (not isinstance(consts["r40"], U64)
-                   and consts["r40"] == 1 << 40)
+                   and consts["r40"] == 1 << shift)
 
     groups = []
     g = None
@@ -437,18 +465,23 @@ def _modmat_phase(x: U64, t_ref, corr_ref, left: bool, consts) -> U64:
                     preferred_element_type=jnp.int32)
             acc = acc + prod
         a = acc.astype(jnp.uint32)  # corr carries +OFF: < 2^29, non-negative
-        k = d % GROUP
+        k = d % group
         piece = u64_shl(U64(jnp.zeros_like(a), a), 8 * k)
         g = piece if k == 0 else u64_add(g, piece)
-        if k == GROUP - 1 or d == ndiag - 1:
+        if k == group - 1 or d == ndiag - 1:
             groups.append(g)
             g = None
 
-    # Horner over radix-2^40 groups: v = (G2 * 2^40 + G1) * 2^40 + G0
+    # Horner over radix-2^shift groups: v = (..G1) * 2^shift + G0
     s = groups[-1]
     for gi in range(len(groups) - 2, -1, -1):
-        m = (bo.shoup_pow2_lazy(s, 40, r40sc, qc) if pow2_horner
+        m = (bo.shoup_pow2_lazy(s, shift, r40sc, qc) if pow2_horner
              else bo.shoup_mul64_lazy(s, r40c, r40sc, qc))
+        if gi == 0 and consts.get("trim"):
+            # wide-q plans (q in [2^60, 2^62)): drop the last lazy
+            # product to < 2q so m + G0 + cadd < 3q + gmax stays below
+            # 2^64 right up to the 62-bit bound
+            m = bo.cond_sub64(m, _cu64(2 * consts["q"]))
         s = u64_add(m, groups[gi])
     s = u64_add(s, _cu64(consts["cadd"]))
     return s
@@ -497,8 +530,9 @@ def pallas_mxu_u64(x: U64, plan: MXUMergePlan, inverse: bool = False,
     """Forward/inverse merged NTT on (batch, N) u64 lane pairs via MXU."""
     batch, n = x.hi.shape
     A, B = plan.A, plan.B
+    group, trim = combine_mode(plan.q)
     consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
-                  chain=plan.canon_chain)
+                  chain=plan.canon_chain, group=group, trim=trim)
 
     if inverse:
         kernel = _inv_kernel

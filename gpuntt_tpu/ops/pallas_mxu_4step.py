@@ -19,7 +19,7 @@ per-tile scale columns — no (n1, n2) table is ever materialised.
 
 Calling convention matches fourstep_ntt_lanes/fourstep_intt_lanes
 (caller-side transposes, pre-permuted INTT input, n^-1 fused into the
-last factor); outputs are bit-identical.  Requires q < 2^60, u64.
+last factor); outputs are bit-identical.  Requires q < 2^62, u64.
 """
 
 from __future__ import annotations
@@ -86,8 +86,8 @@ class FourStepMXUPlan:
     def from_params(p: NTTParameters4Step,
                     tile: int | None = None) -> "FourStepMXUPlan":
         q = p.modulus.value
-        if q >= 1 << 60 or p.dtype != np.uint64:
-            raise ValueError("MXU 4-step requires u64 data and q < 2^60")
+        if q >= 1 << 62 or p.dtype != np.uint64:
+            raise ValueError("MXU 4-step requires u64 data and q < 2^62")
         from ..params.merge import ReductionPolynomial as _RP
 
         order = (p.n if p.poly_reduction == _RP.X_N_minus else 2 * p.n)

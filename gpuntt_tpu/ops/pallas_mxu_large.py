@@ -20,7 +20,9 @@ factors exactly as
 so the kernel multiplies by a small (A, T) tile table and a per-tile
 (A, 1) scale column — two lazy Shoup products instead of one, and no
 big table anywhere.  All arithmetic is exact; outputs are bit-identical
-to merge_ntt_lanes.  Requires q < 2^60.
+to merge_ntt_lanes.  Covers the full reference Barrett domain q < 2^62
+(wide moduli switch the digit combine to radix-2^32 groups, see
+pallas_mxu.combine_mode).
 """
 
 from __future__ import annotations
@@ -41,7 +43,8 @@ from . import barrett as bo
 from .limb import U64
 from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _corr_right,
                          _modmat_phase, _pow_matrix, _split_u32,
-                         balanced_digits, reduction_consts, w_factor, NDIAG)
+                         balanced_digits, combine_mode, reduction_consts,
+                         w_factor, NDIAG)
 
 A_COL = 128  # column count: one MXU tile of left-matmul reduction
 
@@ -100,8 +103,8 @@ class MXULargePlan:
         (ntt.cuh:665-698, ForwardCore_ ntt.cu:2163-2224) — rows beyond
         2^17 recurse into a nested MXULargePlan, and execution runs
         phase-per-program (see pallas_mxu_large_u64's staged use)."""
-        if q >= 1 << 60:
-            raise ValueError("MXU path requires q < 2^60")
+        if q >= 1 << 62:
+            raise ValueError("MXU path requires q < 2^62")
         n = 1 << logn
         order = 2 * n if xnp else n
         if (pow(root, order, q) != 1 or (root * iroot) % q != 1):
@@ -257,8 +260,9 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
               interpret: bool) -> U64:
     batch, n = x.hi.shape
     A, B, T = plan.A, plan.B, plan.tile
+    group, trim = combine_mode(plan.q)
     consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
-                  chain=plan.canon_chain)
+                  chain=plan.canon_chain, group=group, trim=trim)
     if inverse:
         kernel, md, mc = _colinv_kernel, plan.col_inv, plan.col_inv_corr
         wt, ws = plan.wt_inv, plan.ws_inv
@@ -299,8 +303,9 @@ def _row_matmul_call(x: U64, plan: MXULargePlan, inverse: bool,
                      interpret: bool) -> U64:
     batch = x.hi.shape[0]
     A, B = plan.A, plan.B
+    group, trim = combine_mode(plan.q)
     consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
-                  chain=plan.canon_chain)
+                  chain=plan.canon_chain, group=group, trim=trim)
     md, mc = ((plan.row_inv, plan.row_inv_corr) if inverse
               else (plan.row_fwd, plan.row_fwd_corr))
     t1 = min(A, max(8, (1 << 20) // (B * 8)))

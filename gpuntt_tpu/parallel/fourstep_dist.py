@@ -80,7 +80,7 @@ class DistFourStepPlan:
         # unchanged; n_inv=1 keeps the inverse unscaled (the distributed
         # chain applies the single n^-1 at the end).
         col_mxu = row_mxu = None
-        if base.is64 and q < (1 << 60):
+        if base.is64 and q < (1 << 62):
             from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
 
             def sub_plan(nloc: int):

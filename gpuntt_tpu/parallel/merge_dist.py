@@ -89,7 +89,7 @@ def _build_merge_dist_mxu(plan: MergePlan, sp: int):
     from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
 
     p = plan.params
-    if p is None or not plan.is64 or plan.q >= (1 << 60):
+    if p is None or not plan.is64 or plan.q >= (1 << 62):
         return None
     logsp = sp.bit_length() - 1
     lognl = plan.logn - logsp

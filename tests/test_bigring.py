@@ -4,7 +4,7 @@ The reference dispatches merge NTTs to 2^28 with dedicated multi-launch
 plans above 2^23 (ntt.cuh:665-698, ntt.cu:2163-2224).  On the TPU side
 that range is served by (a) the XLA butterfly engine (any q), checked
 here bit-exact against the native C++ oracle on CPU, and (b) the staged
-multi-program MXU route (dispatch._staged_route, q < 2^60), whose
+multi-program MXU route (dispatch._staged_route, q < 2^62), whose
 machinery is exercised at reduced splits in test_mxu_large.py and
 compiled on-chip by the verify-skill drives.
 

@@ -64,9 +64,9 @@ def test_balanced_digits_exact(rng):
 
 
 def test_mxu_plan_rejects_wide_modulus():
-    # params-like object with a modulus past the q < 2^60 kernel bound
+    # params-like object with a modulus past the q < 2^62 kernel bound
     class FakeMod:
-        value = (1 << 61) + 1
+        value = (1 << 62) + 1
 
     class FakeParams:
         modulus = FakeMod()
