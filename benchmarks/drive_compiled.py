@@ -11,6 +11,8 @@ NON-default engines:
   u32-mxu          pallas_mxu_u32 single-modulus (non-default)
   u64-rns-large    pallas_mxu_large_rns_u64 at a production shape
   percoeff-mxu     PerCoefficient layout through the MXU route
+  wide62-mxu       in-VMEM MXU kernel at a near-2^62 modulus (the
+                   radix-2^32 trimmed combine, pallas_mxu.combine_mode)
 
 Run routes individually with `python benchmarks/drive_compiled.py
 <route>` or all of them with no argument (sequential — never two TPU
@@ -144,11 +146,39 @@ def drive_percoeff(logn=13, batch=128):
             f"2^{logn} x{batch} (N, batch) axis-0, {route}")
 
 
+def drive_wide62(logn=14, batch=16):
+    from gpuntt_tpu import (NTTCPU, NTTFactors, NTTParameters,
+                            ReductionPolynomial)
+    from gpuntt_tpu.arith.modulus import Modulus64
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan, pallas_mxu_u64
+
+    # q = 2^62 - 65535 with psi of exact order 2^15 (covers logn <= 14)
+    q, psi = 4611686018427322369, 3971270619688269558
+    assert pow(psi, 1 << (logn + 1), q) == 1
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64,
+                      factors=NTTFactors(Modulus64(q), psi * psi % q, psi))
+    plan = MXUMergePlan.from_params(p)
+    gen = NTTCPU(p)
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, q, size=(batch, p.n), dtype=np.uint64)
+    got = from_lanes(
+        pallas_mxu_u64(to_lanes(x, True), plan, interpret=INTERPRET), True)
+    exp = np.stack([gen.ntt(x[i]) for i in range(batch)])
+    ok = np.array_equal(got, exp)
+    back = from_lanes(
+        pallas_mxu_u64(to_lanes(exp, True), plan, inverse=True,
+                       interpret=INTERPRET), True)
+    return (ok and np.array_equal(back, x),
+            f"2^{logn} x{batch}, q=2^62-65535, fwd+inv")
+
+
 ROUTES = {
     "u32-rns-kernel": drive_u32_rns,
     "u32-mxu": drive_u32_mxu,
     "u64-rns-large": drive_u64_rns_large,
     "percoeff-mxu": drive_percoeff,
+    "wide62-mxu": drive_wide62,
 }
 
 

@@ -42,11 +42,15 @@ def _find_ntt_prime(bits: int, logn: int, seed: int):
 
 
 CELLS = [
-    # (bits, logn, dtype) — widths between/below the pools
+    # (bits, logn, dtype) — widths between/below the pools, plus the
+    # wide range [2^60, 2^62) where the MXU combine switches to
+    # radix-2^32 groups (pallas_mxu.combine_mode)
     (34, 8, np.uint64),
     (42, 9, np.uint64),
     (50, 10, np.uint64),
     (58, 9, np.uint64),
+    (61, 9, np.uint64),
+    (62, 10, np.uint64),
     (24, 8, np.uint32),
     (29, 10, np.uint32),
 ]

@@ -177,6 +177,35 @@ def test_mxu_4step_exact_wide_modulus(rng):
     np.testing.assert_array_equal(got_i, exp_i)
 
 
+def test_signed_variants_wide_modulus(rng):
+    """Signed input / centered output at a near-2^62 modulus: the
+    sign-fix add (q + x) and the centered subtract both stay inside
+    u64 for q < 2^63, asserted against the golden on sign-fixed data
+    (reference Data64s semantics, test_merge_ntt.cu:184-341)."""
+    from gpuntt_tpu import intt, ntt
+
+    q, psi = WIDE62
+    p = _params(10, q, psi, ReductionPolynomial.X_N_minus)
+    plan = MergePlan.from_params(p)
+    gen = NTTCPU(p)
+    mag = rng.integers(0, q // 2, size=(2, p.n), dtype=np.uint64)
+    sign = rng.integers(0, 2, size=(2, p.n)) * 2 - 1
+    signed = (mag.astype(object) * sign).astype(object)
+    x_signed = np.array(signed.tolist(), dtype=np.int64)
+
+    got = ntt(x_signed, plan)
+    unsigned = np.where(signed < 0, q + signed, signed).astype(object)
+    exp = np.stack([gen.ntt(np.array(unsigned[i].tolist(), dtype=np.uint64))
+                    for i in range(2)])
+    np.testing.assert_array_equal(got.astype(np.uint64), exp)
+
+    back = intt(exp, plan, signed_output=True)
+    exp_u = np.stack([gen.intt(exp[i]) for i in range(2)]).astype(object)
+    half = q >> 1
+    exp_c = np.where(exp_u > half, exp_u - q, exp_u)
+    np.testing.assert_array_equal(back.astype(object), exp_c)
+
+
 # --------------------------------------- butterfly engines: wide bit-exact
 
 
