@@ -12,6 +12,7 @@ Each line is one JSON record; a summary table prints at the end.
 Usage:
   python benchmarks/sweep.py [--engine merge|4step|all]
                              [--sizes 12,14,16,...] [--batch-mb 64]
+                             [--platform cpu|tpu]   # escape a wedged relay
 """
 
 import argparse
@@ -20,6 +21,12 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "examples"))
+import _platform  # noqa: E402
+
+_platform.apply()
 
 import numpy as np
 
@@ -63,24 +70,28 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         if tpu and _kernel_path(plan, x.shape,
                                 NTTLayout.PerPolynomial) is None:
             fwd = time_chain(
-                lambda v: ntt_lanes(v, plan, layout=lo), lanes, k=1)
+                lambda v, pl: ntt_lanes(v, pl, layout=lo), lanes, k=1,
+                extra=(plan,))
             inv = time_chain(
-                lambda v: intt_lanes(v, plan, layout=lo), lanes, k=1)
+                lambda v, pl: intt_lanes(v, pl, layout=lo), lanes, k=1,
+                extra=(plan,))
             return fwd, inv, "k=1 chain (PerCoefficient, XLA engine)"
         if batch * (1 << logn) <= (1 << 18):
             fwd, nf = time_marginal_scan(
-                lambda v: ntt_lanes(v, plan, layout=lo), lanes)
+                lambda v, pl: ntt_lanes(v, pl, layout=lo), lanes,
+                extra=(plan,))
             inv, ni = time_marginal_scan(
-                lambda v: intt_lanes(v, plan, layout=lo), lanes)
+                lambda v, pl: intt_lanes(v, pl, layout=lo), lanes,
+                extra=(plan,))
             return fwd, inv, (f"scan-chain marginal (PerCoefficient, noise "
                               f"fwd {nf:.0%} inv {ni:.0%})")
         fwd = time_marginal(
-            lambda v: ntt_lanes(v, plan, layout=lo), lanes)
+            lambda v, pl: ntt_lanes(v, pl, layout=lo), lanes, extra=(plan,))
         inv = time_marginal(
-            lambda v: intt_lanes(v, plan, layout=lo), lanes)
+            lambda v, pl: intt_lanes(v, pl, layout=lo), lanes, extra=(plan,))
         return fwd, inv, "marginal (PerCoefficient)"
 
-    if tpu and plan.is64 and plan.q < (1 << 60) and logn >= 24:
+    if tpu and plan.is64 and plan.q < (1 << 62) and logn >= 24:
         # staged multi-program route: eager, wall-clock timed
         from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
                                                      pallas_mxu_large_u64)
@@ -93,20 +104,26 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         # XLA butterfly engine: k>1 jitted chains at logn >= 19 take
         # many minutes to compile on the relay — time a k=1 chain only
         # and accept the per-dispatch overhead in the number
-        fwd = time_chain(lambda v: ntt_lanes(v, plan), lanes, k=1)
-        inv = time_chain(lambda v: intt_lanes(v, plan), lanes, k=1)
+        fwd = time_chain(lambda v, pl: ntt_lanes(v, pl), lanes, k=1,
+                         extra=(plan,))
+        inv = time_chain(lambda v, pl: intt_lanes(v, pl), lanes, k=1,
+                         extra=(plan,))
         return fwd, inv, "k=1 chain (XLA engine; incl dispatch)"
     if batch * (1 << logn) <= (1 << 18):
         # small-footprint cells (the reference's batch-1 nvbench scope,
         # bench_merge_ntt.cu:71-75): sub-0.1 ms kernels drown in relay
         # jitter at k=1/k=4 — use deep scan chains and report the
         # measured noise bound instead of printing clamped garbage
-        fwd, nf = time_marginal_scan(lambda v: ntt_lanes(v, plan), lanes)
-        inv, ni = time_marginal_scan(lambda v: intt_lanes(v, plan), lanes)
+        fwd, nf = time_marginal_scan(lambda v, pl: ntt_lanes(v, pl),
+                                     lanes, extra=(plan,))
+        inv, ni = time_marginal_scan(lambda v, pl: intt_lanes(v, pl),
+                                     lanes, extra=(plan,))
         return fwd, inv, (f"scan-chain marginal (k=32/160, noise "
                           f"fwd {nf:.0%} inv {ni:.0%})")
-    fwd = time_marginal(lambda v: ntt_lanes(v, plan), lanes)
-    inv = time_marginal(lambda v: intt_lanes(v, plan), lanes)
+    fwd = time_marginal(lambda v, pl: ntt_lanes(v, pl), lanes,
+                        extra=(plan,))
+    inv = time_marginal(lambda v, pl: intt_lanes(v, pl), lanes,
+                        extra=(plan,))
     return fwd, inv, "marginal"
 
 
@@ -135,13 +152,15 @@ def bench_4step(logn: int, dtype, batch: int, rng):
         return fwd, inv, "wall-clock (staged eager route)"
     if batch * (1 << logn) <= (1 << 18):
         fwd, nf = time_marginal_scan(
-            lambda v: fourstep_ntt_lanes(v, plan), lanes)
+            lambda v, pl: fourstep_ntt_lanes(v, pl), lanes, extra=(plan,))
         inv, ni = time_marginal_scan(
-            lambda v: fourstep_intt_lanes(v, plan), lanes)
+            lambda v, pl: fourstep_intt_lanes(v, pl), lanes, extra=(plan,))
         return fwd, inv, (f"scan-chain marginal (k=32/160, noise "
                           f"fwd {nf:.0%} inv {ni:.0%})")
-    fwd = time_marginal(lambda v: fourstep_ntt_lanes(v, plan), lanes)
-    inv = time_marginal(lambda v: fourstep_intt_lanes(v, plan), lanes)
+    fwd = time_marginal(lambda v, pl: fourstep_ntt_lanes(v, pl), lanes,
+                        extra=(plan,))
+    inv = time_marginal(lambda v, pl: fourstep_intt_lanes(v, pl), lanes,
+                        extra=(plan,))
     return fwd, inv, "marginal"
 
 

@@ -29,6 +29,13 @@ from ..parallel.fourstep_dist import (
 )
 
 
+@jax.jit
+def _polymul_jit(a, b, plan):
+    from ..ops.dispatch import polymul_lanes
+
+    return polymul_lanes(a, b, plan)
+
+
 class PolynomialMultiplier:
     """c = a * b mod (q, X^N +/- 1) via merge NTT (single chip)."""
 
@@ -48,9 +55,14 @@ class PolynomialMultiplier:
         return polymul_lanes(a, b, self.plan)
 
     def __call__(self, a, b) -> np.ndarray:
+        from ..ops.dispatch import polymul_lanes
+
         lanes_a = to_lanes(np.asarray(a), self.plan.is64)
         lanes_b = to_lanes(np.asarray(b), self.plan.is64)
-        out = jax.jit(self.step_lanes)(lanes_a, lanes_b)
+        # plan rides as a jit ARGUMENT (MergePlan is a registered
+        # pytree): tables stay runtime buffers, and the module-level
+        # jit cache makes repeat calls hit the same executable
+        out = _polymul_jit(lanes_a, lanes_b, self.plan)
         return from_lanes(out, self.plan.is64)
 
 

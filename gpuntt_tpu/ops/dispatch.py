@@ -303,9 +303,9 @@ def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
         return from_lanes(staged, plan.is64)
     fn = _cached_jit(
         plan, ("ntt", layout, signed_input),
-        lambda: lambda v: ntt_lanes(v, plan, layout=layout,
-                                    signed_input=signed_input))
-    return from_lanes(fn(lanes), plan.is64)
+        lambda: lambda v, pl: ntt_lanes(v, pl, layout=layout,
+                                        signed_input=signed_input))
+    return from_lanes(fn(lanes, plan), plan.is64)
 
 
 def intt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
@@ -320,9 +320,9 @@ def intt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
         return res.view(np.int64) if signed_output else res
     fn = _cached_jit(
         plan, ("intt", layout, signed_output),
-        lambda: lambda v: intt_lanes(v, plan, layout=layout,
-                                     signed_output=signed_output))
-    res = from_lanes(fn(lanes), plan.is64)
+        lambda: lambda v, pl: intt_lanes(v, pl, layout=layout,
+                                         signed_output=signed_output))
+    res = from_lanes(fn(lanes, plan), plan.is64)
     if signed_output:
         return res.view(np.int64) if plan.is64 else res.view(np.int32)
     return res
@@ -444,8 +444,8 @@ def ntt_rns(x, plan, cfg: NTTConfig | None = None):
         return routed
     lanes = to_lanes(x, plan.is64)
     fn = _rns_cached_jit(plan, ("ntt_rns", tuple(mod_idx.tolist())),
-                         lambda: lambda v: rns_ntt_lanes(v, plan, mod_idx))
-    return from_lanes(fn(lanes), plan.is64)
+                         lambda: lambda v, pl: rns_ntt_lanes(v, pl, mod_idx))
+    return from_lanes(fn(lanes, plan), plan.is64)
 
 
 def intt_rns(x, plan, cfg: NTTConfig | None = None):
@@ -459,8 +459,8 @@ def intt_rns(x, plan, cfg: NTTConfig | None = None):
         return routed
     lanes = to_lanes(x, plan.is64)
     fn = _rns_cached_jit(plan, ("intt_rns", tuple(mod_idx.tolist())),
-                         lambda: lambda v: rns_intt_lanes(v, plan, mod_idx))
-    return from_lanes(fn(lanes), plan.is64)
+                         lambda: lambda v, pl: rns_intt_lanes(v, pl, mod_idx))
+    return from_lanes(fn(lanes, plan), plan.is64)
 
 
 def ntt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
@@ -476,8 +476,8 @@ def ntt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
         return routed
     lanes = to_lanes(x, plan.is64)
     fn = _rns_cached_jit(plan, ("ntt_rns", tuple(mod_idx.tolist())),
-                         lambda: lambda v: rns_ntt_lanes(v, plan, mod_idx))
-    return from_lanes(fn(lanes), plan.is64)
+                         lambda: lambda v, pl: rns_ntt_lanes(v, pl, mod_idx))
+    return from_lanes(fn(lanes, plan), plan.is64)
 
 
 def intt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
@@ -491,8 +491,8 @@ def intt_modulus_ordered(x, plan, order, cfg: NTTConfig | None = None):
         return routed
     lanes = to_lanes(x, plan.is64)
     fn = _rns_cached_jit(plan, ("intt_rns", tuple(mod_idx.tolist())),
-                         lambda: lambda v: rns_intt_lanes(v, plan, mod_idx))
-    return from_lanes(fn(lanes), plan.is64)
+                         lambda: lambda v, pl: rns_intt_lanes(v, pl, mod_idx))
+    return from_lanes(fn(lanes, plan), plan.is64)
 
 
 def ntt_poly_ordered(x, plan, order, batch_size: int | None = None,
@@ -512,8 +512,8 @@ def ntt_poly_ordered(x, plan, order, batch_size: int | None = None,
         lanes = to_lanes(x[sel], plan.is64)
         fn = _rns_cached_jit(
             plan, ("ntt_rns", tuple(mod_idx.tolist())),
-            lambda: lambda v: rns_ntt_lanes(v, plan, mod_idx))
-        out = from_lanes(fn(lanes), plan.is64)
+            lambda: lambda v, pl: rns_ntt_lanes(v, pl, mod_idx))
+        out = from_lanes(fn(lanes, plan), plan.is64)
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
@@ -533,8 +533,8 @@ def intt_poly_ordered(x, plan, order, batch_size: int | None = None,
         lanes = to_lanes(x[sel], plan.is64)
         fn = _rns_cached_jit(
             plan, ("intt_rns", tuple(mod_idx.tolist())),
-            lambda: lambda v: rns_intt_lanes(v, plan, mod_idx))
-        out = from_lanes(fn(lanes), plan.is64)
+            lambda: lambda v, pl: rns_intt_lanes(v, pl, mod_idx))
+        out = from_lanes(fn(lanes, plan), plan.is64)
     res = x.copy()
     res[sel] = out.astype(x.dtype)
     return res
@@ -560,8 +560,8 @@ def pointwise_mult(x, y, plan: MergePlan):
     xl = to_lanes(np.asarray(x), plan.is64)
     yl = to_lanes(np.asarray(y), plan.is64)
     fn = _cached_jit(plan, ("pmult",),
-                     lambda: lambda a, b: pointwise_mult_lanes(a, b, plan))
-    return from_lanes(fn(xl, yl), plan.is64)
+                     lambda: lambda a, b, pl: pointwise_mult_lanes(a, b, pl))
+    return from_lanes(fn(xl, yl, plan), plan.is64)
 
 
 def polymul_lanes(a, b, plan: MergePlan, use_pallas: bool | str = "auto"):
@@ -590,8 +590,8 @@ def polymul(x, y, plan: MergePlan):
     xl = to_lanes(x, plan.is64)
     yl = to_lanes(y, plan.is64)
     fn = _cached_jit(plan, ("polymul",),
-                     lambda: lambda a, b: polymul_lanes(a, b, plan))
-    return from_lanes(fn(xl, yl), plan.is64)
+                     lambda: lambda a, b, pl: polymul_lanes(a, b, pl))
+    return from_lanes(fn(xl, yl, plan), plan.is64)
 
 
 def rns_pointwise_mult_lanes(a, b, plan, mod_idx):

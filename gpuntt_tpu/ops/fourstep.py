@@ -132,6 +132,16 @@ class FourStepPlan:
         )
 
 
+jax.tree_util.register_dataclass(
+    FourStepPlan,
+    data_fields=["n1_fwd", "n1_fwd_sh", "n2_fwd", "n2_fwd_sh",
+                 "n1_inv", "n1_inv_sh", "n2_inv", "n2_inv_sh",
+                 "w_fwd", "w_fwd_sh", "w_inv", "w_inv_sh",
+                 "n_inv_rep", "n_inv_shoup"],
+    meta_fields=["logn", "n1", "n2", "q", "is64", "bit", "mu", "params"],
+)
+
+
 def _swap_last2(x):
     return _tmap(lambda a: jnp.swapaxes(a, -1, -2), x)
 

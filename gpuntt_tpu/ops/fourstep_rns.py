@@ -117,6 +117,16 @@ class RNSFourStepPlan:
         return dict(add=bo.modadd32, sub=bo.modsub32, mulc=bo.shoup_mul32)
 
 
+jax.tree_util.register_dataclass(
+    RNSFourStepPlan,
+    data_fields=["q_rep", "n1_fwd", "n1_fwd_sh", "n2_fwd", "n2_fwd_sh",
+                 "n1_inv", "n1_inv_sh", "n2_inv", "n2_inv_sh",
+                 "w_fwd", "w_fwd_sh", "w_inv", "w_inv_sh",
+                 "n_inv_rep", "n_inv_shoup"],
+    meta_fields=["logn", "n1", "n2", "mod_count", "is64", "qs", "members"],
+)
+
+
 def _bsel(tree, mod_idx, extra_axes: int):
     """Gather the per-batch table and append broadcast axes."""
     def f(a):

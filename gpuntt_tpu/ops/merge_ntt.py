@@ -121,7 +121,7 @@ class MergePlan:
             self.params._kernel_plan_cache = kp
         return kp
 
-    # butterfly op bundle
+    # butterfly op bundle (reads only meta fields — safe under tracing)
     def ops(self):
         if self.is64:
             qc = bo.u64_const(self.q)
@@ -136,6 +136,21 @@ class MergePlan:
             sub=lambda a, b: bo.modsub32(a, b, q),
             mulc=lambda x, w, ws: bo.shoup_mul32(x, w, ws, q),
         )
+
+
+# Registered as a pytree (tables = data, plan scalars = static meta) so
+# plans can be passed as jit ARGUMENTS: closed-over tables enter HLO as
+# inline constants, which XLA constant-folds per-op (minutes at logn >=
+# 24) and the relay's compile helper rejects outright past a few MB
+# (HTTP 413).  As arguments they become runtime buffers — same trick as
+# pallas_mxu.plan_to_device, at the jit boundary.
+jax.tree_util.register_dataclass(
+    MergePlan,
+    data_fields=["fwd_table", "fwd_shoup", "inv_table", "inv_shoup",
+                 "n_inv_rep", "n_inv_shoup"],
+    meta_fields=["logn", "q", "bit", "mu", "n_inv", "reduction_poly",
+                 "is64", "params"],
+)
 
 
 # ------------------------------------------------------------- transforms

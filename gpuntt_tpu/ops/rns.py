@@ -111,6 +111,15 @@ class RNSMergePlan:
         )
 
 
+jax.tree_util.register_dataclass(
+    RNSMergePlan,
+    data_fields=["q_rep", "fwd_tables", "fwd_shoup", "inv_tables",
+                 "inv_shoup", "n_inv_rep", "n_inv_shoup"],
+    meta_fields=["logn", "mod_count", "is64", "reduction_poly", "qs",
+                 "members"],
+)
+
+
 def _gather(x, idx):
     return _tmap(lambda a: a[idx], x)
 

@@ -23,37 +23,44 @@ def fetch_one(out):
     return np.asarray(leaf.ravel()[0])
 
 
-def time_chain(fn, x, k, iters=6, repeats=3):
-    """Best-of-repeats wall time of one jitted call applying fn k times."""
+def time_chain(fn, x, k, iters=6, repeats=3, extra=()):
+    """Best-of-repeats wall time of one jitted call applying fn k times.
+
+    `extra` pytrees (e.g. a registered-pytree engine plan) thread
+    through the jit boundary as ARGUMENTS — fn is called fn(v, *extra)
+    — so large twiddle tables enter the chain as runtime buffers
+    instead of closure constants (which inline into HLO, constant-fold
+    per chain link, and trip the relay's compile-payload cap)."""
     import jax
 
-    def g(v):
+    def g(v, *ex):
         for _ in range(k):
-            v = fn(v)
+            v = fn(v, *ex)
         return v
 
     gj = jax.jit(g)
-    o = gj(x)
+    o = gj(x, *extra)
     fetch_one(o)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         o = x
         for _ in range(iters):
-            o = gj(o)
+            o = gj(o, *extra)
         fetch_one(o)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 
-def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6):
+def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6, extra=()):
     """Marginal per-application time: slope between k_lo and k_hi chains."""
-    t_lo = time_chain(fn, x, k_lo, iters)
-    t_hi = time_chain(fn, x, k_hi, iters)
+    t_lo = time_chain(fn, x, k_lo, iters, extra=extra)
+    t_hi = time_chain(fn, x, k_hi, iters, extra=extra)
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
-def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4):
+def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
+                       extra=()):
     """Marginal per-application time via lax.scan chains, plus a noise
     bound — for sub-0.1 ms kernels (the reference's batch-1 nvbench
     scope) where the k=1/k=4 slope drowns in relay dispatch jitter.
@@ -69,18 +76,18 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4):
     from jax import lax
 
     def chain(k):
-        return jax.jit(lambda v: lax.scan(
-            lambda c, _: (fn(c), None), v, None, length=k)[0])
+        return jax.jit(lambda v, *ex: lax.scan(
+            lambda c, _: (fn(c, *ex), None), v, None, length=k)[0])
 
     c_lo, c_hi = chain(k_lo), chain(k_hi)
-    fetch_one(c_lo(x))
-    fetch_one(c_hi(x))
+    fetch_one(c_lo(x, *extra))
+    fetch_one(c_hi(x, *extra))
 
     def once(cj):
         t0 = time.perf_counter()
         o = x
         for _ in range(iters):
-            o = cj(o)
+            o = cj(o, *extra)
         fetch_one(o)
         return (time.perf_counter() - t0) / iters
 

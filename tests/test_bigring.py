@@ -1,4 +1,4 @@
-"""Big-ring merge NTT parity (logn 24-25) — the reference's upper range.
+"""Big-ring merge NTT parity (logn 24-26) — the reference's upper range.
 
 The reference dispatches merge NTTs to 2^28 with dedicated multi-launch
 plans above 2^23 (ntt.cuh:665-698, ntt.cu:2163-2224).  On the TPU side
@@ -37,15 +37,14 @@ def test_merge_u64_logn24_parity_vs_native(rng):
 
     exp = _native.ntt_merge(x, p.logn, p.forward_root_of_unity_table, q, True)
     got = from_lanes(
-        jax.jit(lambda v: merge_ntt_lanes(v, plan))(to_lanes(x, True)), True)
+        jax.jit(merge_ntt_lanes)(to_lanes(x, True), plan), True)
     np.testing.assert_array_equal(got, exp)
 
     back_exp = _native.intt_merge(exp, p.logn,
                                   p.inverse_root_of_unity_table, q, True)
     np.testing.assert_array_equal(back_exp, x)  # oracle self-check
     back = from_lanes(
-        jax.jit(lambda v: merge_intt_lanes(v, plan))(to_lanes(exp, True)),
-        True)
+        jax.jit(merge_intt_lanes)(to_lanes(exp, True), plan), True)
     np.testing.assert_array_equal(back, x)
 
 
@@ -59,7 +58,24 @@ def test_merge_u64_logn25_fwd_parity_vs_native(rng):
     exp = _native.ntt_merge(x, p.logn, p.forward_root_of_unity_table, q,
                             False)
     got = from_lanes(
-        jax.jit(lambda v: merge_ntt_lanes(v, plan))(to_lanes(x, True)), True)
+        jax.jit(merge_ntt_lanes)(to_lanes(x, True), plan), True)
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.skipif(not _native.available(), reason="no native toolchain")
+def test_merge_u64_logn26_fwd_parity_vs_native(rng):
+    """XLA engine == native oracle at 2^26, forward.  Feasible in-suite
+    because MergePlan is a pytree and rides as a jit ARGUMENT — as a
+    closure constant the 2^26 tables constant-fold for ~8 extra minutes
+    of compile."""
+    p = NTTParameters(26, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    q = p.modulus.value
+    x = _rand(rng, p.n, q, np.uint64)
+    plan = MergePlan.from_params(p)
+    exp = _native.ntt_merge(x, p.logn, p.forward_root_of_unity_table, q,
+                            False)
+    got = from_lanes(
+        jax.jit(merge_ntt_lanes)(to_lanes(x, True), plan), True)
     np.testing.assert_array_equal(got, exp)
 
 
@@ -79,13 +95,11 @@ def test_fourstep_logn24_parity(rng):
     gen = NTT4StepCPU(p)
     x = _rand(rng, p.n, p.modulus.value, np.uint64)
     got = from_lanes(
-        jax.jit(lambda v: fourstep_ntt_full(v, plan))(to_lanes(x, True)),
-        True)
+        jax.jit(fourstep_ntt_full)(to_lanes(x, True), plan), True)
     exp = gen.ntt(x[0])[None]
     np.testing.assert_array_equal(got, exp)
     back = from_lanes(
-        jax.jit(lambda v: fourstep_intt_full(v, plan))(to_lanes(exp, True)),
-        True)
+        jax.jit(fourstep_intt_full)(to_lanes(exp, True), plan), True)
     np.testing.assert_array_equal(back, x)
 
 
@@ -99,10 +113,8 @@ def test_merge_u32_logn24_parity(rng):
     gen = NTTCPU(p)
     exp = gen.ntt(x[0])[None]
     got = from_lanes(
-        jax.jit(lambda v: merge_ntt_lanes(v, plan))(to_lanes(x, False)),
-        False)
+        jax.jit(merge_ntt_lanes)(to_lanes(x, False), plan), False)
     np.testing.assert_array_equal(got, exp)
     back = from_lanes(
-        jax.jit(lambda v: merge_intt_lanes(v, plan))(to_lanes(exp, False)),
-        False)
+        jax.jit(merge_intt_lanes)(to_lanes(exp, False), plan), False)
     np.testing.assert_array_equal(back, x)
