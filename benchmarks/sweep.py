@@ -101,9 +101,18 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         inv = time_wall(lambda: pallas_mxu_large_u64(lanes, mp, inverse=True))
         return fwd, inv, "wall-clock (staged multi-program)"
     if tpu and _kernel_path(plan, x.shape, NTTLayout.PerPolynomial) is None:
-        # XLA butterfly engine: k>1 jitted chains at logn >= 19 take
-        # many minutes to compile on the relay — time a k=1 chain only
-        # and accept the per-dispatch overhead in the number
+        # XLA butterfly engine.  The historical k>1 compile blowup at
+        # logn >= 19 was constant folding of closure-captured tables;
+        # with plans as jit arguments a k=4 chain at logn 20 compiles
+        # in ~20 s on CPU.  Marginal-time through logn 23; keep k=1
+        # above that (the staged routes own those sizes — this branch
+        # only sees them for off-pool moduli).
+        if logn <= 23:
+            fwd = time_marginal(lambda v, pl: ntt_lanes(v, pl), lanes,
+                                extra=(plan,))
+            inv = time_marginal(lambda v, pl: intt_lanes(v, pl), lanes,
+                                extra=(plan,))
+            return fwd, inv, "marginal (XLA engine, plan-as-arg chains)"
         fwd = time_chain(lambda v, pl: ntt_lanes(v, pl), lanes, k=1,
                          extra=(plan,))
         inv = time_chain(lambda v, pl: intt_lanes(v, pl), lanes, k=1,
