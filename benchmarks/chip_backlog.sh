@@ -55,8 +55,10 @@ log "batch-1 latency (reference nvbench scope, VERDICT item 4)"
 timeout 5400 python benchmarks/sweep.py --engine merge --batch 1 \
     --sizes 12,14,16,18,20,22 --dtypes u64 2>&1 | tee -a "$OUT"
 
-log "staged big-N route: merge 24 (VERDICT item 1) + 4-step 24 (item 8)"
+log "staged big-N route: merge 24+26 (VERDICT item 1) + 4-step 24 (item 8)"
 timeout 3600 python benchmarks/sweep.py --engine merge --sizes 24 \
+    --dtypes u64 --batch 1 2>&1 | tee -a "$OUT"
+timeout 3600 python benchmarks/sweep.py --engine merge --sizes 26 \
     --dtypes u64 --batch 1 2>&1 | tee -a "$OUT"
 timeout 3600 python benchmarks/sweep.py --engine 4step --sizes 24 \
     --dtypes u64 --batch 1 2>&1 | tee -a "$OUT"
