@@ -38,10 +38,16 @@ def _device_probe_ok(timeout_s: int = 300) -> bool:
     hangs indefinitely; probing in-process would hang this harness with
     it.  A failed probe lets main() emit an honest error record instead
     of hanging the driver."""
+    probe = ("import jax; assert jax.default_backend() != 'cpu', "
+             "'fell back to CPU'; jax.devices()")
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe],
             timeout=timeout_s, capture_output=True)
+        # a relay that fails FAST (plugin init error) makes jax fall
+        # back to CPU with exit 0 — that must read as "chip absent",
+        # not "relay recovered", or CPU timings get recorded as chip
+        # numbers
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False

@@ -13,7 +13,7 @@ OUT=benchmarks/chip_backlog.out
 log() { echo "=== [$(date +%H:%M:%S)] $*" | tee -a "$OUT"; }
 
 log "device probe"
-if ! timeout 300 python -c "import jax; print(jax.devices())" >> "$OUT" 2>&1; then
+if ! timeout 300 python -c "import jax; assert jax.default_backend() != 'cpu', 'fell back to CPU'; print(jax.devices())" >> "$OUT" 2>&1; then
     log "relay still wedged — aborting"
     exit 1
 fi

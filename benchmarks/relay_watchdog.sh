@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 MAX_PROBES=${1:-40}
 for ((i = 1; i <= MAX_PROBES; i++)); do
     echo "=== probe $i/$MAX_PROBES at $(date +%H:%M:%S)"
-    if timeout 240 python -c "import jax; print(jax.devices())"; then
+    if timeout 240 python -c "import jax; assert jax.default_backend() != 'cpu', 'fell back to CPU'; print(jax.devices())"; then
         echo "=== relay is back — running the backlog"
         bash benchmarks/chip_backlog.sh
         exit $?

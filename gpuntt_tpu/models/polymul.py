@@ -55,8 +55,6 @@ class PolynomialMultiplier:
         return polymul_lanes(a, b, self.plan)
 
     def __call__(self, a, b) -> np.ndarray:
-        from ..ops.dispatch import polymul_lanes
-
         lanes_a = to_lanes(np.asarray(a), self.plan.is64)
         lanes_b = to_lanes(np.asarray(b), self.plan.is64)
         # plan rides as a jit ARGUMENT (MergePlan is a registered

@@ -400,6 +400,17 @@ def mxu_plan(params: NTTParameters) -> MXUMergePlan:
 # ---------------------------------------------------------------- kernel
 
 
+def kernel_consts(plan) -> dict:
+    """Kernel consts dict from a single-modulus plan's reduction fields
+    (MXUMergePlan and MXULargePlan share them) — the ONE place the
+    combine mode is re-derived for kernel assembly, so a plan field
+    and its group/trim can never disagree (the 4-step plan stores the
+    reduction_consts dict whole instead)."""
+    group, trim = combine_mode(plan.q)
+    return dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
+                chain=plan.canon_chain, group=group, trim=trim)
+
+
 def _cu64(v) -> U64:
     """Constant accessor: consts entries may be Python ints (classic
     single-modulus plans) or already-built U64 scalars (per-modulus
@@ -530,9 +541,7 @@ def pallas_mxu_u64(x: U64, plan: MXUMergePlan, inverse: bool = False,
     """Forward/inverse merged NTT on (batch, N) u64 lane pairs via MXU."""
     batch, n = x.hi.shape
     A, B = plan.A, plan.B
-    group, trim = combine_mode(plan.q)
-    consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
-                  chain=plan.canon_chain, group=group, trim=trim)
+    consts = kernel_consts(plan)
 
     if inverse:
         kernel = _inv_kernel

@@ -43,7 +43,7 @@ from . import barrett as bo
 from .limb import U64
 from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _corr_right,
                          _modmat_phase, _pow_matrix, _split_u32,
-                         balanced_digits, combine_mode, reduction_consts,
+                         balanced_digits, kernel_consts, reduction_consts,
                          w_factor, NDIAG)
 
 A_COL = 128  # column count: one MXU tile of left-matmul reduction
@@ -260,9 +260,7 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
               interpret: bool) -> U64:
     batch, n = x.hi.shape
     A, B, T = plan.A, plan.B, plan.tile
-    group, trim = combine_mode(plan.q)
-    consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
-                  chain=plan.canon_chain, group=group, trim=trim)
+    consts = kernel_consts(plan)
     if inverse:
         kernel, md, mc = _colinv_kernel, plan.col_inv, plan.col_inv_corr
         wt, ws = plan.wt_inv, plan.ws_inv
@@ -303,9 +301,7 @@ def _row_matmul_call(x: U64, plan: MXULargePlan, inverse: bool,
                      interpret: bool) -> U64:
     batch = x.hi.shape[0]
     A, B = plan.A, plan.B
-    group, trim = combine_mode(plan.q)
-    consts = dict(q=plan.q, r40=plan.r40, r40s=plan.r40s, cadd=plan.cadd,
-                  chain=plan.canon_chain, group=group, trim=trim)
+    consts = kernel_consts(plan)
     md, mc = ((plan.row_inv, plan.row_inv_corr) if inverse
               else (plan.row_fwd, plan.row_fwd_corr))
     t1 = min(A, max(8, (1 << 20) // (B * 8)))

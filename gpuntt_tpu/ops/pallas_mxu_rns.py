@@ -87,6 +87,7 @@ class MXURNSPlan:
         """Stack already-built per-modulus MXUMergePlans (used directly
         by the large-ring RNS path for its nested row sub-plans)."""
         p0 = plans[0]
+        _require_narrow(plans)
         if any(pl_.A != p0.A or pl_.B != p0.B for pl_ in plans):
             raise ValueError("RNS members must share the (A, B) split")
         if any(len(pl_.canon_chain) != len(p0.canon_chain) for pl_ in plans):
@@ -124,6 +125,22 @@ class MXURNSPlan:
             w_inv=tuple(dev(a) for a in stack_w("w_inv")),
             consts=dev(consts),
         )
+
+
+def _require_narrow(plans):
+    """The stacked RNS kernels hard-code the narrow 5-diagonal combine
+    (_consts_from_ref carries no group/trim), so every member must be
+    below 2^60 — wide members would compute silently wrong spectra.
+    Dispatch gates keep wide ladders off these routes; this guard
+    protects direct from_members/from_plans callers too."""
+    from .pallas_mxu import combine_mode
+
+    for pl_ in plans:
+        if combine_mode(pl_.q)[1]:
+            raise ValueError(
+                "stacked RNS kernels require every modulus < 2^60 (wide "
+                "moduli use the 4-group combine, which is structural); "
+                f"got q = {pl_.q}")
 
 
 def _consts_from_ref(cr, chain_len: int) -> dict:
@@ -260,6 +277,7 @@ class MXULargeRNSPlan:
             p, a_col=(a := max(128, p.n >> 16)),
             tile=max(128, (1 << 16) // a)) for p in members]
         p0 = plans[0]
+        _require_narrow(plans)
         if any((pl_.A, pl_.B, pl_.tile) != (p0.A, p0.B, p0.tile)
                for pl_ in plans):
             raise ValueError("RNS members must share the large-ring split")
@@ -509,6 +527,7 @@ class FourStepRNSMXUPlan:
         tile = max(128, min(p0m.n2, 512))  # halved vs single-mod: stacked
         plans = [FourStepMXUPlan.from_params(p, tile=tile) for p in members]
         p0 = plans[0]
+        _require_narrow(plans)
         if any((pl_.n1, pl_.n2, pl_.tile) != (p0.n1, p0.n2, p0.tile)
                for pl_ in plans):
             raise ValueError("RNS members must share the n1 x n2 split")

@@ -64,6 +64,22 @@ def test_mxu_plans_decline_past_62_bits():
         MXULargePlan.from_params(p)
 
 
+def test_stacked_rns_builders_decline_wide_members():
+    """The stacked RNS kernels hard-code the narrow 5-diagonal combine,
+    so their builders must REJECT wide members even when dispatch gates
+    are bypassed (direct from_members callers) — a wide ladder would
+    otherwise compute silently wrong spectra."""
+    from gpuntt_tpu.ops.pallas_mxu_rns import MXURNSPlan
+
+    q, psi = WIDE61
+    members = [
+        _params(12, q, psi, ReductionPolynomial.X_N_minus),
+        _params(12, q, psi, ReductionPolynomial.X_N_minus),
+    ]
+    with pytest.raises(ValueError, match="modulus < 2\\^60"):
+        MXURNSPlan.from_members(members)
+
+
 @pytest.mark.parametrize("q,psi", [WIDE61, WIDE62])
 def test_dispatch_routes_wide_modulus_to_mxu(q, psi, monkeypatch):
     monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
