@@ -41,8 +41,16 @@ done
 log "headline variant nooff (pre-fold kernel via git checkout)"
 if git diff --quiet -- gpuntt_tpu/ops/pallas_mxu.py; then
     git checkout 43fd9c2 -- gpuntt_tpu/ops/pallas_mxu.py
-    timeout 1800 python benchmarks/r2_headline.py base 2>&1 \
-        | sed 's/"variant": "base"/"variant": "nooff"/' | tee -a "$OUT"
+    # the old file lacks kernel_consts/combine_mode; r2_headline only
+    # loads the in-VMEM engine (pallas_mxu_large stays un-imported),
+    # but smoke the import before burning chip time, and restore HEAD
+    # no matter how the measurement exits
+    if timeout 120 python -c "import gpuntt_tpu.ops.pallas_mxu"; then
+        timeout 1800 python benchmarks/r2_headline.py base 2>&1 \
+            | sed 's/"variant": "base"/"variant": "nooff"/' | tee -a "$OUT"
+    else
+        log "SKIP nooff: old kernel no longer imports against HEAD tree"
+    fi
     git checkout HEAD -- gpuntt_tpu/ops/pallas_mxu.py
 else
     log "SKIP nooff: pallas_mxu.py has uncommitted changes"
