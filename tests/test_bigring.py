@@ -1,4 +1,5 @@
-"""Big-ring merge NTT parity (logn 24-26) — the reference's upper range.
+"""Big-ring merge NTT parity (u64 logn 24-26, u32 24-25) — the
+reference's upper range.
 
 The reference dispatches merge NTTs to 2^28 with dedicated multi-launch
 plans above 2^23 (ntt.cuh:665-698, ntt.cu:2163-2224).  On the TPU side
@@ -101,6 +102,21 @@ def test_fourstep_logn24_parity(rng):
     back = from_lanes(
         jax.jit(fourstep_intt_full)(to_lanes(exp, True), plan), True)
     np.testing.assert_array_equal(back, x)
+
+
+def test_merge_u32_logn25_fwd_parity(rng):
+    """u32 pool TOP (logn 25, nttparameters.cu:84-98): XLA engine vs the
+    vectorized golden at 2^25, forward.  With this the u32 dispatch
+    range is suite-covered end to end (2-25), matching the u64 cells."""
+    p = NTTParameters(25, ReductionPolynomial.X_N_minus, dtype=np.uint32)
+    q = p.modulus.value
+    x = _rand(rng, p.n, q, np.uint32)
+    plan = MergePlan.from_params(p)
+    gen = NTTCPU(p)
+    exp = gen.ntt(x[0])[None]
+    got = from_lanes(
+        jax.jit(merge_ntt_lanes)(to_lanes(x, False), plan), False)
+    np.testing.assert_array_equal(got, exp)
 
 
 def test_merge_u32_logn24_parity(rng):
