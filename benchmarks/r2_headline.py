@@ -19,7 +19,10 @@ chains) — the only honest measurement through the relay (CLAUDE.md).
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 

@@ -123,6 +123,17 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         # bench_merge_ntt.cu:71-75): sub-0.1 ms kernels drown in relay
         # jitter at k=1/k=4 — use deep scan chains and report the
         # measured noise bound instead of printing clamped garbage
+        path = _kernel_path(plan, x.shape, NTTLayout.PerPolynomial)
+        if tpu and path in ("mxu-large", "mxu32-large"):
+            # scan-wrapping the composed col+row program crashes the
+            # relay's compile helper (HTTP 500, observed at u64 logn 18
+            # batch 1) — widen the unrolled-chain spread instead and
+            # accept the larger jitter floor
+            fwd = time_marginal(lambda v, pl: ntt_lanes(v, pl), lanes,
+                                k_hi=8, extra=(plan,))
+            inv = time_marginal(lambda v, pl: intt_lanes(v, pl), lanes,
+                                k_hi=8, extra=(plan,))
+            return fwd, inv, "marginal k=1/8 (composed program; no scan)"
         fwd, nf = time_marginal_scan(lambda v, pl: ntt_lanes(v, pl),
                                      lanes, extra=(plan,))
         inv, ni = time_marginal_scan(lambda v, pl: intt_lanes(v, pl),
