@@ -114,7 +114,11 @@ class FourStepMXUPlan:
         # W factorization: forward W[i, j] = root^(br(i, log1) * j);
         # inverse W[i, j] = iroot^(i * br(j, log2))
         if tile is None:
-            tile = min(n2, 1024)
+            # column tile scales inversely with n1: the kernel's VMEM
+            # stack is proportional to n1*tile, and tile=1024 at
+            # n1=256 (the 2^24 = 256x65536 factorization) measured a
+            # 21.2M scoped-vmem stack against the 16M limit on v5e
+            tile = min(n2, 1024, max(128, (1 << 17) // n1))
         tile = min(tile, n2)
         logt = tile.bit_length() - 1
         nt = n2 // tile
@@ -333,7 +337,10 @@ class FourStep32MXUPlan:
         g1T = _pow_matrix(np.array([pow(ir1, b, q) for b in br1],
                                    dtype=object), q, n1)
 
-        tile = min(n2, 2048)
+        # same inverse-with-n1 tile scaling as the u64 builder: the
+        # proven u32 VMEM budget is n1*tile = 2^18 lanes (logn 23 =
+        # 128x65536 at tile 2048); n1=256 (logn 24) must halve the tile
+        tile = min(n2, 2048, max(128, (1 << 18) // n1))
         logt = tile.bit_length() - 1
         nt = n2 // tile
         wt_f, ws_f = w_factor([pow(root, b, q) for b in br1],
