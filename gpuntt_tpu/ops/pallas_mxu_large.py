@@ -285,6 +285,12 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
         grid=(batch, B // T),
         in_specs=[fullspec(md), fullspec(mc), *wt_specs, *ws_specs, blk, blk],
         out_specs=(blk, blk),
+        # in-place: each grid step reads and writes the same (i, 0, j)
+        # block, so the outputs alias the data inputs.  Besides saving
+        # a buffer, this stops XLA placing a small (batch*N <= ~2^19)
+        # output on the kernel's scoped-VMEM stack, which overflowed
+        # the 16M v5e limit at logn 18 batch 1 (19.16M measured).
+        input_output_aliases={10: 0, 11: 1},
         interpret=interpret,
     )(md, mc, *wt, *ws, x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
     return U64(oh, ol)
@@ -321,6 +327,8 @@ def _row_matmul_call(x: U64, plan: MXULargePlan, inverse: bool,
         grid=(batch, A // t1),
         in_specs=[fullspec(md), fullspec(mc), blk, blk],
         out_specs=(blk, blk),
+        # same in-place aliasing rationale as _col_call
+        input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(md, mc, x.hi, x.lo)
     return U64(oh, ol)
