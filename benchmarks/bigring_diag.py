@@ -61,7 +61,7 @@ def merge26():
     fetch(z)
     log(f"  rows fwd ok ({time.perf_counter() - t0:.1f}s incl compile)")
 
-    log("golden spot-check (native oracle, 8 sampled indices)")
+    log("golden check (full 2^26-point bit-exact comparison, NTTCPU model)")
     from gpuntt_tpu.ops.merge_ntt import from_lanes
     from gpuntt_tpu import NTTCPU
     got = from_lanes(z, True)[0]

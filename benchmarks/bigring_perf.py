@@ -1,0 +1,210 @@
+"""Round-3 big-N chip drive: device-resident staged route, merge logn
+24-28 + u32 24-25 + 4-step 24 — parity on chip, then MARGINAL timing
+(the round-2 numbers were eager wall-clock on a re-lowering route,
+10.6 s/NTT at merge 24; the reference's big-N plans are 3-4 launches at
+device speed, ntt.cuh:665-698).
+
+Each cell is one subcommand so a relay compile-helper crash (HTTP 500,
+sometimes transient — CLAUDE.md) is attributable to one cell and the
+rest can still run:
+
+    python benchmarks/bigring_perf.py merge24
+    python benchmarks/bigring_perf.py all          # sequential, guarded
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _merge_cell(logn: int, check_inverse: bool = True):
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial
+    from gpuntt_tpu import _native
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+    from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
+                                                 staged_mxu_large_u64)
+    from gpuntt_tpu.utils.timing import time_marginal_eager
+
+    log(f"merge 2^{logn} u64 batch 1 — staged device-resident route")
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    mp = mxu_large_plan(p)
+    row = ("matmul" if mp.row_plan is None
+           else f"{type(mp.row_plan).__name__}(logn {mp.row_plan.logn})")
+    log(f"  plan: A={mp.A} B={mp.B} tile={mp.tile} rows={row}")
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64)
+    lanes = to_lanes(x, True)
+
+    t0 = time.perf_counter()
+    y = staged_mxu_large_u64(lanes, mp)
+    got = from_lanes(y, True)
+    log(f"  fwd ran ({time.perf_counter() - t0:.1f}s incl compile)")
+    exp = _native.ntt_merge(x[0], logn, p.forward_root_of_unity_table,
+                            p.modulus.value, True)
+    assert np.array_equal(got[0], exp), f"merge{logn} fwd mismatch"
+    log("  fwd PASS bit-exact (full native-oracle comparison)")
+
+    if check_inverse:
+        t0 = time.perf_counter()
+        back = from_lanes(staged_mxu_large_u64(to_lanes(got, True), mp,
+                                               inverse=True), True)
+        log(f"  inv ran ({time.perf_counter() - t0:.1f}s incl compile)")
+        assert np.array_equal(back, x), f"merge{logn} inv mismatch"
+        log("  inv PASS bit-exact (round trip)")
+
+    iters = 1 if logn >= 27 else 3
+    fwd, nf = time_marginal_eager(lambda v: staged_mxu_large_u64(v, mp),
+                                  lanes, iters=iters)
+    inv, ni = time_marginal_eager(
+        lambda v: staged_mxu_large_u64(v, mp, inverse=True), lanes,
+        iters=iters)
+    rec = {"cell": f"merge{logn}", "dtype": "u64", "batch": 1,
+           "fwd_ms_per_ntt": round(fwd * 1e3, 3),
+           "inv_ms_per_ntt": round(inv * 1e3, 3),
+           "noise_fwd": round(nf, 3), "noise_inv": round(ni, 3),
+           "timing": "eager-chain marginal, staged device-resident",
+           "parity": "PASS"}
+    print(json.dumps(rec), flush=True)
+
+
+def merge24():
+    _merge_cell(24)
+
+
+def merge25():
+    _merge_cell(25)
+
+
+def merge26():
+    _merge_cell(26)
+
+
+def merge27():
+    _merge_cell(27)
+
+
+def merge28():
+    _merge_cell(28)
+
+
+def _u32_cell(logn: int):
+    """u32 above the Pallas gates rides the XLA butterfly engine under
+    jit with the plan as argument (reference u32 pool reaches logn 25,
+    nttparameters.cu:84-98)."""
+    import jax
+
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial
+    from gpuntt_tpu import _native
+    from gpuntt_tpu.ops.dispatch import intt_lanes, ntt_lanes
+    from gpuntt_tpu.ops.merge_ntt import MergePlan
+    from gpuntt_tpu.utils.timing import fetch_one, time_chain
+
+    log(f"merge 2^{logn} u32 batch 1 — XLA butterfly engine (jit)")
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint32)
+    plan = MergePlan.from_params(p)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, p.modulus.value, size=(1, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+
+    fwd_j = jax.jit(lambda v, pl: ntt_lanes(v, pl))
+    inv_j = jax.jit(lambda v, pl: intt_lanes(v, pl))
+    t0 = time.perf_counter()
+    got = np.asarray(fwd_j(x, plan))
+    log(f"  fwd ran ({time.perf_counter() - t0:.1f}s incl compile)")
+    exp = _native.ntt_merge(
+        x[0].astype(np.uint64), logn,
+        p.forward_root_of_unity_table.astype(np.uint64),
+        int(p.modulus.value), True).astype(np.uint32)
+    assert np.array_equal(got[0], exp), f"u32 merge{logn} fwd mismatch"
+    log("  fwd PASS bit-exact (full native-oracle comparison)")
+    t0 = time.perf_counter()
+    back = np.asarray(inv_j(got, plan))
+    log(f"  inv ran ({time.perf_counter() - t0:.1f}s incl compile)")
+    assert np.array_equal(back, x), f"u32 merge{logn} inv mismatch"
+    log("  inv PASS bit-exact (round trip)")
+
+    fwd = time_chain(lambda v, pl: ntt_lanes(v, pl), x, k=1, extra=(plan,))
+    inv = time_chain(lambda v, pl: intt_lanes(v, pl), x, k=1, extra=(plan,))
+    rec = {"cell": f"u32merge{logn}", "dtype": "u32", "batch": 1,
+           "fwd_ms_per_ntt": round(fwd * 1e3, 3),
+           "inv_ms_per_ntt": round(inv * 1e3, 3),
+           "timing": "k=1 chain (XLA engine; incl dispatch)",
+           "parity": "PASS"}
+    print(json.dumps(rec), flush=True)
+
+
+def u32m24():
+    _u32_cell(24)
+
+
+def u32m25():
+    _u32_cell(25)
+
+
+def fourstep24():
+    from gpuntt_tpu import NTT4StepCPU, NTTParameters4Step, ReductionPolynomial
+    from gpuntt_tpu.ops.fourstep import (FourStepPlan, fourstep_intt_lanes,
+                                         fourstep_ntt_lanes)
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+    from gpuntt_tpu.utils.timing import time_marginal_eager
+
+    log("4-step 2^24 u64 batch 1 — staged device-resident route")
+    p = NTTParameters4Step(24, ReductionPolynomial.X_N_minus,
+                           dtype=np.uint64)
+    plan = FourStepPlan.from_params(p)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64)
+    lanes = to_lanes(x, True)
+
+    t0 = time.perf_counter()
+    y = from_lanes(fourstep_ntt_lanes(lanes, plan), True)
+    log(f"  core fwd ran ({time.perf_counter() - t0:.1f}s incl compile)")
+    # parity of the full pipeline is bigring_diag.fourstep24's job
+    # (already PASS on chip, r2); here we spot the core convention:
+    # ntt_full == golden was established there, core reuses it.
+    fwd, nf = time_marginal_eager(
+        lambda v: fourstep_ntt_lanes(v, plan), lanes)
+    inv, ni = time_marginal_eager(
+        lambda v: fourstep_intt_lanes(v, plan), lanes)
+    rec = {"cell": "fourstep24", "dtype": "u64", "batch": 1,
+           "fwd_ms_per_ntt": round(fwd * 1e3, 3),
+           "inv_ms_per_ntt": round(inv * 1e3, 3),
+           "noise_fwd": round(nf, 3), "noise_inv": round(ni, 3),
+           "timing": "eager-chain marginal, staged device-resident (core, "
+                     "caller-side transposes excluded as in the reference "
+                     "bench)"}
+    print(json.dumps(rec), flush=True)
+
+
+CELLS = ["merge24", "merge25", "merge26", "merge27", "merge28",
+         "u32m24", "u32m25", "fourstep24"]
+
+
+def run_all():
+    me = os.path.abspath(__file__)
+    for cell in CELLS:
+        log(f"=== {cell} ===")
+        try:
+            r = subprocess.run([sys.executable, me, cell], timeout=3600)
+            if r.returncode != 0:
+                log(f"{cell} FAILED rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"{cell} TIMEOUT (3600s)")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd == "all":
+        run_all()
+    else:
+        globals()[cmd]()

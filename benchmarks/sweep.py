@@ -61,7 +61,19 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
                                        lanes)
         lo = NTTLayout.PerCoefficient
         if tpu and logn >= 24:
-            # numpy entry points: staged eager multi-program route
+            from gpuntt_tpu.ops.dispatch import staged_ntt_lanes
+            from gpuntt_tpu.utils.timing import time_marginal_eager
+
+            if staged_ntt_lanes(lanes, plan, layout=lo) is not None:
+                fwd, nf = time_marginal_eager(
+                    lambda v: staged_ntt_lanes(v, plan, layout=lo), lanes)
+                inv, ni = time_marginal_eager(
+                    lambda v: staged_ntt_lanes(v, plan, layout=lo,
+                                               inverse=True), lanes)
+                return fwd, inv, (f"eager-chain marginal (PerCoefficient "
+                                  f"staged, noise fwd {nf:.0%} inv {ni:.0%})")
+            # ineligible for the staged MXU route (u32 / wide q):
+            # numpy entry points, wall-clock
             xc = np.ascontiguousarray(
                 (x.astype(dtype) if dtype == np.uint32 else x).T)
             fwd = time_wall(lambda: ntt(xc, plan, layout=lo))
@@ -92,14 +104,19 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         return fwd, inv, "marginal (PerCoefficient)"
 
     if tpu and plan.is64 and plan.q < (1 << 62) and logn >= 24:
-        # staged multi-program route: eager, wall-clock timed
+        # staged multi-program route: cached jitted phases chained
+        # eagerly, device-resident — marginal-timed like everything else
         from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
-                                                     pallas_mxu_large_u64)
+                                                     staged_mxu_large_u64)
+        from gpuntt_tpu.utils.timing import time_marginal_eager
 
         mp = mxu_large_plan(p)
-        fwd = time_wall(lambda: pallas_mxu_large_u64(lanes, mp))
-        inv = time_wall(lambda: pallas_mxu_large_u64(lanes, mp, inverse=True))
-        return fwd, inv, "wall-clock (staged multi-program)"
+        fwd, nf = time_marginal_eager(
+            lambda v: staged_mxu_large_u64(v, mp), lanes)
+        inv, ni = time_marginal_eager(
+            lambda v: staged_mxu_large_u64(v, mp, inverse=True), lanes)
+        return fwd, inv, (f"eager-chain marginal (staged device-resident, "
+                          f"noise fwd {nf:.0%} inv {ni:.0%})")
     if tpu and _kernel_path(plan, x.shape, NTTLayout.PerPolynomial) is None:
         # XLA butterfly engine.  The historical k>1 compile blowup at
         # logn >= 19 was constant folding of closure-captured tables;
@@ -164,12 +181,17 @@ def bench_4step(logn: int, dtype, batch: int, rng):
     # reference bench, which times GPU_4STEP_NTT alone
     if jax.default_backend() == "tpu" and logn >= 24:
         # logn 24 routes to the staged MXU engine only EAGERLY (each
-        # pallas_call its own program, fourstep._mxu_route hi gate);
-        # under jit it would fall to the XLA stage sweep, whose k>1
-        # chains take many minutes to compile on the relay (CLAUDE.md)
-        fwd = time_wall(lambda: fourstep_ntt_lanes(lanes, plan))
-        inv = time_wall(lambda: fourstep_intt_lanes(lanes, plan))
-        return fwd, inv, "wall-clock (staged eager route)"
+        # pallas_call its own cached jitted program, fourstep._mxu_route
+        # hi gate); under jit it would fall to the XLA stage sweep,
+        # whose k>1 chains take many minutes to compile on the relay
+        from gpuntt_tpu.utils.timing import time_marginal_eager
+
+        fwd, nf = time_marginal_eager(
+            lambda v: fourstep_ntt_lanes(v, plan), lanes)
+        inv, ni = time_marginal_eager(
+            lambda v: fourstep_intt_lanes(v, plan), lanes)
+        return fwd, inv, (f"eager-chain marginal (staged device-resident, "
+                          f"noise fwd {nf:.0%} inv {ni:.0%})")
     if batch * (1 << logn) <= (1 << 18):
         fwd, nf = time_marginal_scan(
             lambda v, pl: fourstep_ntt_lanes(v, pl), lanes, extra=(plan,))

@@ -230,15 +230,20 @@ def intt_lanes(
 # --------------------------------------------- staged big-N route (24-28)
 
 
-def _staged_route(x_lanes, plan: MergePlan, layout, inverse: bool,
-                  signed_input: bool = False, signed_output: bool = False):
-    """Merge NTT at logn 24-28 on TPU: run the large-ring MXU engine
-    EAGERLY so each pallas_call compiles as its own small program (the
-    composed program at these sizes overwhelms the compiler) — the TPU
-    analog of the reference's 3-4-launch big-N plans (ntt.cuh:665-698,
-    ForwardCore_ ntt.cu:2163-2224).  Returns None when ineligible
-    (non-TPU, u32, wide q, non-root factors) — callers fall back to the
-    jitted XLA engine."""
+def staged_ntt_lanes(x_lanes, plan: MergePlan,
+                     layout: NTTLayout = NTTLayout.PerPolynomial,
+                     inverse: bool = False, signed_input: bool = False,
+                     signed_output: bool = False):
+    """Device-resident merge NTT at logn 24-28 on TPU: the column and
+    row phases run as separate CACHED jitted programs with arrays
+    staying on device between them — the TPU analog of the reference's
+    3-4-launch big-N plans (ntt.cuh:665-698, ForwardCore_
+    ntt.cu:2163-2224); one composed program at these sizes overwhelms
+    the compiler.  NOT jittable as a whole; call from eager code with
+    lane-representation (U64 pair / uint32) inputs; the first call per
+    (plan, batch) compiles each phase, later calls are cache hits.
+    Returns None when ineligible (non-TPU, u32, wide q, non-root
+    factors) — callers fall back to the jitted XLA engine."""
     import jax as _jax
 
     if (_jax.default_backend() != "tpu" or not plan.is64
@@ -248,7 +253,7 @@ def _staged_route(x_lanes, plan: MergePlan, layout, inverse: bool,
     shape = jax.tree_util.tree_leaves(x_lanes)[0].shape
     if len(shape) != 2:
         return None
-    from .pallas_mxu_large import mxu_large_plan, pallas_mxu_large_u64
+    from .pallas_mxu_large import mxu_large_plan, staged_mxu_large_u64
 
     try:
         mp = mxu_large_plan(plan.params)
@@ -257,10 +262,14 @@ def _staged_route(x_lanes, plan: MergePlan, layout, inverse: bool,
     x_lanes = _apply_layout_in(x_lanes, layout)
     if signed_input:
         x_lanes = bo.reduce_signed64(x_lanes, bo.u64_const(plan.q))
-    y = pallas_mxu_large_u64(x_lanes, mp, inverse=inverse)
+    y = staged_mxu_large_u64(x_lanes, mp, inverse=inverse)
     if signed_output:
         y = bo.centered64(y, bo.u64_const(plan.q))
     return _apply_layout_out(y, layout)
+
+
+# backwards-compatible internal name
+_staged_route = staged_ntt_lanes
 
 
 # ------------------------------------------------------ numpy convenience
@@ -567,10 +576,29 @@ def pointwise_mult(x, y, plan: MergePlan):
 def polymul_lanes(a, b, plan: MergePlan, use_pallas: bool | str = "auto"):
     """Fused polynomial multiplication modulo (q, X^N +- 1) on lanes
     (jittable): INTT(NTT(a) o NTT(b)), cyclic for X_N_minus and
-    negacyclic for X_N_plus — one compiled computation, so XLA overlaps
-    the two forward transforms' dispatch and fuses the pointwise stage."""
+    negacyclic for X_N_plus — one compiled computation.
+
+    On the u64 in-VMEM MXU route the pointwise product is fused INTO
+    the inverse kernel (pallas_mxu_polymul_inv_u64), saving the HBM
+    write+read of the product buffer between the pointwise stage and
+    the inverse pallas_call; outputs are bit-identical either way."""
     fa = ntt_lanes(a, plan, use_pallas=use_pallas)
     fb = ntt_lanes(b, plan, use_pallas=use_pallas)
+    shape = jax.tree_util.tree_leaves(fa)[0].shape
+    path = (_kernel_path(plan, shape, NTTLayout.PerPolynomial)
+            if use_pallas == "auto" else None)
+    if path in ("mxu", "mxu-large"):
+        path, mp, _fn = _resolve_mxu(path, plan)
+        if path == "mxu":
+            from .pallas_mxu import pallas_mxu_polymul_inv_u64
+
+            return pallas_mxu_polymul_inv_u64(fa, fb, mp)
+        if path == "mxu-large":
+            from .pallas_mxu import MXUMergePlan
+            from .pallas_mxu_large import pallas_mxu_large_polymul_inv
+
+            if isinstance(mp.row_plan, MXUMergePlan):
+                return pallas_mxu_large_polymul_inv(fa, fb, mp)
     prod = pointwise_mult_lanes(fa, fb, plan)
     return intt_lanes(prod, plan, use_pallas=use_pallas)
 

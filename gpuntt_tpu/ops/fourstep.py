@@ -189,10 +189,23 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     n = leaf.shape[-1]
     batch = int(np.prod(lead)) if lead else 1
     if plan.is64:
+        if eager:
+            # cached module-level jits (plan is a pytree argument):
+            # staged two-program route at logn 24, composed single
+            # program below — either way no per-call re-lowering
+            fn = (m4.staged_fourstep_mxu_lanes if plan.logn >= 24
+                  else m4.fourstep_mxu_jit)
+        else:
+            fn = m4.fourstep_mxu_lanes
         x2 = U64(x.hi.reshape(batch, n), x.lo.reshape(batch, n))
-        y = m4.fourstep_mxu_lanes(x2, mplan, inverse=inverse)
+        y = fn(x2, mplan, inverse=inverse)
         return U64(y.hi.reshape(lead + (n,)), y.lo.reshape(lead + (n,)))
-    y = m4.fourstep32_mxu_lanes(x.reshape(batch, n), mplan, inverse=inverse)
+    if eager:
+        fn32 = (m4.staged_fourstep32_mxu_lanes if plan.logn >= 24
+                else m4.fourstep32_mxu_jit)
+    else:
+        fn32 = m4.fourstep32_mxu_lanes
+    y = fn32(x.reshape(batch, n), mplan, inverse=inverse)
     return y.reshape(lead + (n,))
 
 

@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params.bitrev import bitreverse
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
-from .limb import U64, u64_add, u64_shl
+from .limb import (U64, mul64x64_128, mul64x64_lo, u128_shr_lo64, u64_add,
+                   u64_shl, u64_sub)
 from .pallas_merge import _pow_table
 
 ND = 8                 # radix-256 digits per operand
@@ -93,6 +94,15 @@ def balanced_digits(t: np.ndarray, nd: int = ND) -> np.ndarray:
         out[i] = (b - 256 * carry).astype(np.int8)
     assert not carry.any(), "value out of balanced-digit range"
     return out
+
+
+class ConstsDict(dict):
+    """Value-hashable dict of reduction constants — lets a plan carry
+    its consts as a pytree META field (jit cache keys hash the metadata,
+    and a plain dict is unhashable)."""
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.items())))
 
 
 def reduction_consts(q: int, ndiag: int) -> dict:
@@ -365,6 +375,21 @@ class MXUMergePlan:
         )
 
 
+# Registered pytree (like MergePlan, merge_ntt.py:147): the digit/W
+# tables become jit ARGUMENTS — runtime buffers, not inline HLO
+# constants — so the staged big-N phase functions (pallas_mxu_large.py)
+# hit the jit cache on every call instead of re-lowering, and chained
+# benchmarks can thread the plan through `extra=`.
+jax.tree_util.register_dataclass(
+    MXUMergePlan,
+    data_fields=["fwd_left", "fwd_left_corr", "fwd_right",
+                 "fwd_right_corr", "w_fwd", "inv_right", "inv_right_corr",
+                 "inv_left", "inv_left_corr", "w_inv"],
+    meta_fields=["logn", "q", "A", "B", "r40", "r40s", "cadd",
+                 "canon_chain"],
+)
+
+
 def plan_to_device(plan):
     """Move a plan's numpy tables to the device (eagerly, even under an
     ambient trace) so they enter compilations as runtime buffers rather
@@ -534,6 +559,68 @@ def _inv_kernel(rh, rcorr, lh, lcorr, wh, wl, wsh, wsl, xh, xl, oh, ol,
     z = _canon(z, consts)
     oh[0] = z.hi
     ol[0] = z.lo
+
+
+def _inv_mul_kernel(rh, rcorr, lh, lcorr, wh, wl, wsh, wsl,
+                    xah, xal, xbh, xbl, oh, ol, *, consts):
+    """Fused NTT-domain product + inverse transform: the polymul
+    pipeline's pointwise stage runs INSIDE the inverse kernel, saving
+    one full HBM round trip of the product buffer (the reference
+    computes mult host-side between launches, ntt_cpu.cu:67-79; the
+    unfused TPU pipeline pays write+read of batch*N*8B between the
+    pointwise XLA op and the inverse pallas_call).
+
+    The product is the exact reference Barrett (modular_arith.cuh:
+    328-338) minus the final conditional subtract: the inverse's first
+    digit-matmul phase is exact for ANY u64 input and linear over Z, so
+    a < 2q lazy product yields the identical canonical output."""
+    a = U64(xah[0], xal[0])
+    b = U64(xbh[0], xbl[0])
+    qc = _cu64(consts["q"])
+    z = mul64x64_128(a, b)
+    w = u128_shr_lo64(z, consts["bit"] - 2)
+    t = mul64x64_128(w, _cu64(consts["mu"]))
+    w2 = u128_shr_lo64(t, consts["bit"] + 3)
+    x = u64_sub(z.lo64, mul64x64_lo(w2, qc))               # < 2q lazy
+    y = _modmat_phase(x, rh, rcorr, False, consts)          # @ Ginv_row^T
+    y = _w_mul_lazy(y, (wh, wl, wsh, wsl), consts)          # o W^-1, < 3q
+    out = _modmat_phase(y, lh, lcorr, True, consts)         # (n^-1 Ginv) @
+    out = _canon(out, consts)
+    oh[0] = out.hi
+    ol[0] = out.lo
+
+
+def pallas_mxu_polymul_inv_u64(fa: U64, fb: U64, plan: MXUMergePlan,
+                               interpret: bool = False) -> U64:
+    """INTT(fa o fb) in one kernel — fa, fb canonical NTT-domain
+    (batch, N) u64 pairs (the two forward spectra)."""
+    batch, n = fa.hi.shape
+    A, B = plan.A, plan.B
+    consts = kernel_consts(plan)
+    bit = plan.q.bit_length()
+    consts["bit"] = bit
+    consts["mu"] = (1 << (2 * bit + 1)) // plan.q
+    tabs = [plan.inv_right, plan.inv_right_corr,
+            plan.inv_left, plan.inv_left_corr, *plan.w_inv]
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    table_specs = [fullspec(t) for t in tabs]
+    blk = pl.BlockSpec((1, A, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    oh, ol = pl.pallas_call(
+        functools.partial(_inv_mul_kernel, consts=consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B), jnp.uint32)),
+        grid=(batch,),
+        in_specs=[*table_specs, blk, blk, blk, blk],
+        out_specs=(blk, blk),
+        interpret=interpret,
+    )(*tabs, fa.hi.reshape(batch, A, B), fa.lo.reshape(batch, A, B),
+      fb.hi.reshape(batch, A, B), fb.lo.reshape(batch, A, B))
+    return U64(oh.reshape(batch, n), ol.reshape(batch, n))
 
 
 def pallas_mxu_u64(x: U64, plan: MXUMergePlan, inverse: bool = False,

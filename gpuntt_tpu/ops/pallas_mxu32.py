@@ -31,16 +31,16 @@ from ..params.bitrev import bitreverse
 from ..params.merge import NTTParameters, ReductionPolynomial
 from . import barrett as bo
 from .limb import U64
-from .pallas_mxu import (_corr_left, _corr_right, _modmat_phase,
-                         _pow_matrix, balanced_digits, reduction_consts,
-                         w_factor)
+from .pallas_mxu import (ConstsDict, _corr_left, _corr_right,
+                         _modmat_phase, _pow_matrix, balanced_digits,
+                         reduction_consts, w_factor)
 
 ND32 = 4
 NDIAG32 = 2 * ND32 - 1  # 7
 
 
 def _consts32(q: int):
-    return reduction_consts(q, NDIAG32)
+    return ConstsDict(reduction_consts(q, NDIAG32))
 
 
 def _lazy_to_u32(s: U64, consts):
@@ -139,6 +139,16 @@ class MXU32Plan:
             w_inv=wpack(w_i),
             consts=_consts32(q),
         )
+
+
+# Registered pytree (cf. MXUMergePlan): tables as jit arguments.
+jax.tree_util.register_dataclass(
+    MXU32Plan,
+    data_fields=["fwd_left", "fwd_left_corr", "fwd_right",
+                 "fwd_right_corr", "w_fwd", "inv_right", "inv_right_corr",
+                 "inv_left", "inv_left_corr", "w_inv"],
+    meta_fields=["logn", "q", "A", "B", "consts"],
+)
 
 
 def mxu32_plan(params: NTTParameters) -> MXU32Plan:
@@ -297,6 +307,14 @@ class MXU32LargePlan:
             wt_inv=pack32(wt_i), ws_inv=pack32(ws_i),
             row_plan=row_plan, consts=_consts32(q),
         )
+
+
+jax.tree_util.register_dataclass(
+    MXU32LargePlan,
+    data_fields=["col_fwd", "col_fwd_corr", "wt_fwd", "ws_fwd",
+                 "col_inv", "col_inv_corr", "wt_inv", "ws_inv", "row_plan"],
+    meta_fields=["logn", "q", "A", "B", "tile", "consts"],
+)
 
 
 def mxu32_large_plan(params: NTTParameters) -> "MXU32LargePlan":

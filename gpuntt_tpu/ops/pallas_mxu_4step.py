@@ -39,15 +39,16 @@ from ..params.bitrev import bitreverse
 from ..params.fourstep import NTTParameters4Step
 from . import barrett as bo
 from .limb import U64
-from .pallas_mxu import (MXUMergePlan, NDIAG, _canon, _corr_right,
-                         _modmat_phase, _pow_matrix, _split_u32,
-                         balanced_digits, reduction_consts, w_factor)
+from .pallas_mxu import (ConstsDict, MXUMergePlan, NDIAG, _canon,
+                         _corr_right, _modmat_phase, _pow_matrix,
+                         _split_u32, balanced_digits, reduction_consts,
+                         w_factor)
 
 ROW_MATMUL_MAX = 512  # n2 beyond this delegates rows to the merge kernel
 
 
 def _consts(q: int):
-    return reduction_consts(q, NDIAG)
+    return ConstsDict(reduction_consts(q, NDIAG))
 
 
 def _pack(wm, q):
@@ -120,6 +121,12 @@ class FourStepMXUPlan:
             # 21.2M scoped-vmem stack against the 16M limit on v5e
             tile = min(n2, 1024, max(128, (1 << 17) // n1))
         tile = min(tile, n2)
+        # the max(128, ...) floor could silently break the budget if a
+        # future MATRIX_DIMENSIONS entry used n1 > 1024 — fail loudly
+        # instead of overflowing scoped VMEM on chip (ADVICE r2)
+        assert n1 * tile <= (1 << 17), (
+            f"column-phase VMEM budget exceeded: n1*tile = {n1}*{tile} "
+            f"> 2^17 u64 lanes (v5e 16M scoped limit)")
         logt = tile.bit_length() - 1
         nt = n2 // tile
         fwd_bases = [pow(root, b, q) for b in br1]
@@ -159,6 +166,17 @@ class FourStepMXUPlan:
             wt_inv=_pack(wt_i, q), ws_inv=_pack(ws_i, q),
             consts=_consts(q), **kw,
         )
+
+
+# Registered pytree (cf. MXULargePlan): tables ride as jit arguments so
+# the staged phase functions below hit the jit cache per call.
+jax.tree_util.register_dataclass(
+    FourStepMXUPlan,
+    data_fields=["m1T", "m1T_corr", "wt_fwd", "ws_fwd",
+                 "g1T", "g1T_corr", "wt_inv", "ws_inv",
+                 "m2T", "m2T_corr", "g2T", "g2T_corr", "row_plan"],
+    meta_fields=["logn", "q", "n1", "n2", "tile", "consts"],
+)
 
 
 def fourstep_mxu_plan(params: NTTParameters4Step) -> FourStepMXUPlan:
@@ -281,6 +299,52 @@ def fourstep_mxu_lanes(x: U64, plan: FourStepMXUPlan, inverse: bool = False,
     return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
 
 
+# ------------------------------------------- staged big-N route (logn 24)
+#
+# Mirror of the merge staged route (pallas_mxu_large.staged_mxu_large_u64):
+# at logn 24 the composed col+row program overwhelms the compiler, so the
+# column and row phases run as separate CACHED module-level jits with the
+# plan as a pytree argument — one compile per (plan, batch), C++ cache
+# hits after, arrays resident on device between phases.
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _col_phase4(x: U64, plan: FourStepMXUPlan, inverse: bool,
+                interpret: bool = False) -> U64:
+    batch, n = x.hi.shape
+    xv = U64(x.hi.reshape(batch, plan.n2, plan.n1),
+             x.lo.reshape(batch, plan.n2, plan.n1))
+    y = _run_col(xv, plan, inverse, interpret)            # (batch, n1, n2)
+    return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _row_phase4(x: U64, plan: FourStepMXUPlan, inverse: bool,
+                interpret: bool = False) -> U64:
+    from .pallas_mxu import pallas_mxu_u64 as _mxu
+
+    batch, n = x.hi.shape
+    n1, n2 = plan.n1, plan.n2
+    if plan.row_plan is None:
+        y = U64(x.hi.reshape(batch, n1, n2), x.lo.reshape(batch, n1, n2))
+        z = _run_row_matmul(y, plan, inverse, interpret)
+        return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+    rows = U64(x.hi.reshape(batch * n1, n2), x.lo.reshape(batch * n1, n2))
+    z = _mxu(rows, plan.row_plan, inverse=inverse, interpret=interpret)
+    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+
+
+def staged_fourstep_mxu_lanes(x: U64, plan: FourStepMXUPlan,
+                              inverse: bool = False,
+                              interpret: bool = False) -> U64:
+    """Device-resident staged 4-step transform (u64): two cached jitted
+    programs chained eagerly.  NOT jittable as a whole — the eager
+    analog of the reference's multi-launch 4-step recipes
+    (ntt_4step.cu:2376-2394)."""
+    y = _col_phase4(x, plan, inverse=inverse, interpret=interpret)
+    return _row_phase4(y, plan, inverse=inverse, interpret=interpret)
+
+
 # ------------------------------------------------------------ 32-bit variant
 #
 # Same two-kernel structure with four radix-256 digits per operand and
@@ -341,6 +405,9 @@ class FourStep32MXUPlan:
         # proven u32 VMEM budget is n1*tile = 2^18 lanes (logn 23 =
         # 128x65536 at tile 2048); n1=256 (logn 24) must halve the tile
         tile = min(n2, 2048, max(128, (1 << 18) // n1))
+        assert n1 * tile <= (1 << 18), (
+            f"u32 column-phase VMEM budget exceeded: n1*tile = {n1}*{tile} "
+            f"> 2^18 u32 lanes (v5e 16M scoped limit)")
         logt = tile.bit_length() - 1
         nt = n2 // tile
         wt_f, ws_f = w_factor([pow(root, b, q) for b in br1],
@@ -383,8 +450,17 @@ class FourStep32MXUPlan:
             wt_fwd=pack32(wt_f), ws_fwd=pack32(ws_f),
             g1T=d_g1, g1T_corr=_corr_right(d_g1),
             wt_inv=pack32(wt_i), ws_inv=pack32(ws_i),
-            consts=reduction_consts(q, NDIAG32), **kw,
+            consts=ConstsDict(reduction_consts(q, NDIAG32)), **kw,
         )
+
+
+jax.tree_util.register_dataclass(
+    FourStep32MXUPlan,
+    data_fields=["m1T", "m1T_corr", "wt_fwd", "ws_fwd",
+                 "g1T", "g1T_corr", "wt_inv", "ws_inv",
+                 "m2T", "m2T_corr", "g2T", "g2T_corr", "row_plan"],
+    meta_fields=["logn", "q", "n1", "n2", "tile", "consts"],
+)
 
 
 def fourstep32_mxu_plan(params: NTTParameters4Step) -> FourStep32MXUPlan:
@@ -484,3 +560,46 @@ def fourstep32_mxu_lanes(x, plan: FourStep32MXUPlan, inverse: bool = False,
     z = pallas_mxu_u32(y.reshape(batch * n1, n2), plan.row_plan,
                        inverse=inverse, interpret=interpret)
     return z.reshape(batch, n)
+
+
+# Cached jit wrappers for EAGER callers (fourstep._mxu_route outside a
+# trace): composed single-program for the jit-safe sizes, staged
+# two-program for logn 24.  Without these every eager call re-lowers.
+fourstep_mxu_jit = jax.jit(fourstep_mxu_lanes,
+                           static_argnames=("inverse", "interpret"))
+fourstep32_mxu_jit = jax.jit(fourstep32_mxu_lanes,
+                             static_argnames=("inverse", "interpret"))
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _col_phase4_32(x, plan: FourStep32MXUPlan, inverse: bool,
+                   interpret: bool = False):
+    batch, n = x.shape
+    y = _run_col32(x.reshape(batch, plan.n2, plan.n1), plan, inverse,
+                   interpret)
+    return y.reshape(batch, n)
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _row_phase4_32(x, plan: FourStep32MXUPlan, inverse: bool,
+                   interpret: bool = False):
+    from .pallas_mxu32 import pallas_mxu_u32 as _mxu32
+
+    batch, n = x.shape
+    n1, n2 = plan.n1, plan.n2
+    if plan.row_plan is None:
+        z = _run_row32_matmul(x.reshape(batch, n1, n2), plan, inverse,
+                              interpret)
+        return z.reshape(batch, n)
+    z = _mxu32(x.reshape(batch * n1, n2), plan.row_plan, inverse=inverse,
+               interpret=interpret)
+    return z.reshape(batch, n)
+
+
+def staged_fourstep32_mxu_lanes(x, plan: FourStep32MXUPlan,
+                                inverse: bool = False,
+                                interpret: bool = False):
+    """Device-resident staged 4-step transform (u32) — see
+    staged_fourstep_mxu_lanes."""
+    y = _col_phase4_32(x, plan, inverse=inverse, interpret=interpret)
+    return _row_phase4_32(y, plan, inverse=inverse, interpret=interpret)

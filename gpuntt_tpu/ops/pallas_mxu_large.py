@@ -213,6 +213,23 @@ class MXULargePlan:
         )
 
 
+# Registered pytree: tables enter jit as runtime buffers, so the staged
+# phase functions below are plain module-level jits whose cache is keyed
+# on (plan structure + table shapes + meta) — one compile per plan, C++
+# fast path on every later call.  Round 2's eager route re-built fresh
+# pallas_call closures per invocation and re-lowered every call (merge
+# 2^24 measured 10.6 s/NTT); this is the fix.
+jax.tree_util.register_dataclass(
+    MXULargePlan,
+    data_fields=["col_fwd", "col_fwd_corr", "wt_fwd", "ws_fwd",
+                 "col_inv", "col_inv_corr", "wt_inv", "ws_inv",
+                 "row_plan", "row_fwd", "row_fwd_corr",
+                 "row_inv", "row_inv_corr"],
+    meta_fields=["logn", "q", "A", "B", "tile", "r40", "r40s", "cadd",
+                 "canon_chain"],
+)
+
+
 def mxu_large_plan(params: NTTParameters) -> MXULargePlan:
     from .pallas_mxu import plan_to_device
 
@@ -361,10 +378,10 @@ def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
     """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-28.
 
     logn <= 23 composes into one program; at logn >= 24 the composed
-    col+row program overwhelms the compiler, so dispatch runs this
-    EAGERLY (outside jit) — each pallas_call then compiles as its own
-    small program, mirroring the reference's multi-launch big-N plans
-    (ntt.cuh:665-698, ntt.cu:2163-2224)."""
+    col+row program overwhelms the compiler, so dispatch runs the
+    STAGED route instead (staged_mxu_large_u64): each phase its own
+    cached jitted program, mirroring the reference's multi-launch big-N
+    plans (ntt.cuh:665-698, ntt.cu:2163-2224)."""
     batch, n = x.hi.shape
     if inverse:
         # rows first (merge_B inverse, B^-1 folded), then W^-1 + columns
@@ -374,3 +391,67 @@ def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
     y = _col_call(x, plan, inverse=False, interpret=interpret)
     y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
     return _row_call(y, plan, inverse=False, interpret=interpret)
+
+
+def pallas_mxu_large_polymul_inv(fa: U64, fb: U64, plan: MXULargePlan,
+                                 interpret: bool = False) -> U64:
+    """INTT(fa o fb) on the large-ring route with the pointwise product
+    fused into the row phase's kernel (see pallas_mxu_polymul_inv_u64)
+    — requires delegated MXUMergePlan rows (logn 19-23 production
+    shapes); callers fall back to pointwise + inverse otherwise."""
+    from .pallas_mxu import pallas_mxu_polymul_inv_u64
+
+    if not isinstance(plan.row_plan, MXUMergePlan):
+        raise ValueError("fused polymul needs MXUMergePlan rows")
+    batch, n = fa.hi.shape
+    A, B = plan.A, plan.B
+    ra = U64(fa.hi.reshape(batch * A, B), fa.lo.reshape(batch * A, B))
+    rb = U64(fb.hi.reshape(batch * A, B), fb.lo.reshape(batch * A, B))
+    y = pallas_mxu_polymul_inv_u64(ra, rb, plan.row_plan,
+                                   interpret=interpret)
+    y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+    z = _col_call(y, plan, inverse=True, interpret=interpret)
+    return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+
+
+# ------------------------------------------- staged big-N route (logn >= 24)
+#
+# The TPU analog of the reference's 3-4-launch big-N plans
+# (ntt.cuh:665-698, ForwardCore_ ntt.cu:2163-2224): the column phase and
+# the row phase each compile as their OWN jitted program.  Both wrappers
+# are module-level jits taking the plan as a pytree argument, so the jit
+# cache persists across calls and across plans of the same shape — the
+# first call per (plan meta, batch) compiles, every later call is a C++
+# cache hit with arrays resident on device.  Phase in/out shapes are
+# flat (batch, N): the (A, B) relayout lives inside each program.
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _col_phase(x: U64, plan: MXULargePlan, inverse: bool,
+               interpret: bool = False) -> U64:
+    batch, n = x.hi.shape
+    y = _col_call(x, plan, inverse=inverse, interpret=interpret)
+    return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _row_phase(x: U64, plan: MXULargePlan, inverse: bool,
+               interpret: bool = False) -> U64:
+    # Nested MXULargePlan rows (logn 27-28) compose col+row inside THIS
+    # program: the nested logB never exceeds 19 (A >= 512 above logn 24),
+    # well inside the jittable composed range (<= 23).
+    return _row_call(x, plan, inverse=inverse, interpret=interpret)
+
+
+def staged_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
+                         interpret: bool = False) -> U64:
+    """Device-resident staged merge NTT for logn 24-28: two cached
+    jitted programs chained eagerly, arrays staying on device between
+    them.  NOT jittable as a whole (that composed program is what
+    overwhelms the compiler at these sizes) — call from eager code or
+    chain eagerly for timing (utils.timing.time_marginal_eager)."""
+    if inverse:
+        y = _row_phase(x, plan, inverse=True, interpret=interpret)
+        return _col_phase(y, plan, inverse=True, interpret=interpret)
+    y = _col_phase(x, plan, inverse=False, interpret=interpret)
+    return _row_phase(y, plan, inverse=False, interpret=interpret)

@@ -100,6 +100,37 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
     return med, noise
 
 
+def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3):
+    """Marginal per-application time for an EAGER chainable fn(x)->x —
+    the staged multi-program big-N routes (merge logn >= 24), whose
+    phases are separate cached jitted programs and cannot ride inside
+    one jitted chain.  Applications are chained eagerly (device arrays
+    stay resident; JAX's async dispatch keeps the device queue full, so
+    per-call dispatch overlaps execution) and the k_lo/k_hi slope
+    cancels the constant setup + sync cost.  Returns
+    (t_per_application, noise_frac) like time_marginal_scan."""
+
+    def chain_time(k):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = x
+            for _ in range(k):
+                o = fn(o)
+            fetch_one(o)
+        return (time.perf_counter() - t0) / iters
+
+    # warm the phase-jit caches (first call compiles)
+    fetch_one(fn(x))
+    slopes = []
+    for _ in range(repeats):
+        slopes.append(max((chain_time(k_hi) - chain_time(k_lo))
+                          / (k_hi - k_lo), 1e-9))
+    slopes.sort()
+    med = slopes[len(slopes) // 2]
+    noise = (slopes[-1] - slopes[0]) / med
+    return med, noise
+
+
 def time_wall(fn, iters=3, repeats=3):
     """Best-of-repeats wall time per call of an EAGER callable.
 

@@ -131,6 +131,10 @@ def test_fourstep_logn24_eager_gate(monkeypatch):
     monkeypatch.setattr(
         m4, "fourstep_mxu_lanes",
         lambda x2, mplan, inverse=False, interpret=False: x2)
+    # the eager >= 24 route goes through the STAGED two-program path
+    monkeypatch.setattr(
+        m4, "staged_fourstep_mxu_lanes",
+        lambda x2, mplan, inverse=False, interpret=False: x2)
 
     plan = types.SimpleNamespace(params=object(), q=97, logn=24, is64=True)
     x = U64(*(np.zeros((2, 16), dtype=np.uint32),) * 2)
