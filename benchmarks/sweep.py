@@ -40,7 +40,7 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
     from gpuntt_tpu.ops.dispatch import _kernel_path, intt_lanes, ntt_lanes
     from gpuntt_tpu.ops.merge_ntt import MergePlan, to_lanes
     from gpuntt_tpu.utils.timing import (time_chain, time_marginal_scan,
-                                         time_wall)
+                                         time_marginal_spread, time_wall)
 
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=dtype)
     plan = MergePlan.from_params(p)
@@ -146,22 +146,23 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
             # relay's compile helper (HTTP 500, observed at u64 logn 18
             # batch 1) — widen the unrolled-chain spread instead and
             # accept the larger jitter floor
-            fwd = time_marginal(lambda v, pl: ntt_lanes(v, pl), lanes,
-                                k_hi=8, extra=(plan,))
-            inv = time_marginal(lambda v, pl: intt_lanes(v, pl), lanes,
-                                k_hi=8, extra=(plan,))
-            return fwd, inv, "marginal k=1/8 (composed program; no scan)"
+            fwd, nf = time_marginal_spread(
+                lambda v, pl: ntt_lanes(v, pl), lanes, k_hi=8, extra=(plan,))
+            inv, ni = time_marginal_spread(
+                lambda v, pl: intt_lanes(v, pl), lanes, k_hi=8, extra=(plan,))
+            return fwd, inv, (f"marginal k=1/8 (composed program; no scan; "
+                              f"noise fwd {nf:.0%} inv {ni:.0%})")
         fwd, nf = time_marginal_scan(lambda v, pl: ntt_lanes(v, pl),
                                      lanes, extra=(plan,))
         inv, ni = time_marginal_scan(lambda v, pl: intt_lanes(v, pl),
                                      lanes, extra=(plan,))
-        return fwd, inv, (f"scan-chain marginal (k=32/160, noise "
+        return fwd, inv, (f"scan-chain marginal (escalating depth, noise "
                           f"fwd {nf:.0%} inv {ni:.0%})")
-    fwd = time_marginal(lambda v, pl: ntt_lanes(v, pl), lanes,
-                        extra=(plan,))
-    inv = time_marginal(lambda v, pl: intt_lanes(v, pl), lanes,
-                        extra=(plan,))
-    return fwd, inv, "marginal"
+    fwd, nf = time_marginal_spread(lambda v, pl: ntt_lanes(v, pl), lanes,
+                                   extra=(plan,))
+    inv, ni = time_marginal_spread(lambda v, pl: intt_lanes(v, pl), lanes,
+                                   extra=(plan,))
+    return fwd, inv, f"marginal (noise fwd {nf:.0%} inv {ni:.0%})"
 
 
 def bench_4step(logn: int, dtype, batch: int, rng):
@@ -197,13 +198,15 @@ def bench_4step(logn: int, dtype, batch: int, rng):
             lambda v, pl: fourstep_ntt_lanes(v, pl), lanes, extra=(plan,))
         inv, ni = time_marginal_scan(
             lambda v, pl: fourstep_intt_lanes(v, pl), lanes, extra=(plan,))
-        return fwd, inv, (f"scan-chain marginal (k=32/160, noise "
+        return fwd, inv, (f"scan-chain marginal (escalating depth, noise "
                           f"fwd {nf:.0%} inv {ni:.0%})")
-    fwd = time_marginal(lambda v, pl: fourstep_ntt_lanes(v, pl), lanes,
-                        extra=(plan,))
-    inv = time_marginal(lambda v, pl: fourstep_intt_lanes(v, pl), lanes,
-                        extra=(plan,))
-    return fwd, inv, "marginal"
+    from gpuntt_tpu.utils.timing import time_marginal_spread
+
+    fwd, nf = time_marginal_spread(
+        lambda v, pl: fourstep_ntt_lanes(v, pl), lanes, extra=(plan,))
+    inv, ni = time_marginal_spread(
+        lambda v, pl: fourstep_intt_lanes(v, pl), lanes, extra=(plan,))
+    return fwd, inv, f"marginal (noise fwd {nf:.0%} inv {ni:.0%})"
 
 
 def main():

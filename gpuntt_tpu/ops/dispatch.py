@@ -52,7 +52,8 @@ class NTTConfig:
     mod_inverse: int | None = None
 
 
-def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
+def _kernel_path(plan: MergePlan, x_shape, layout,
+                 inverse: bool = False) -> str | None:
     """Kernel-path selection — the TPU analog of the reference's
     LowRing/standard/Core_ dispatch thresholds (ntt.cu:2095-2224).
 
@@ -60,7 +61,13 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
     — measured 2.1x over the XLA butterfly engine at 2^16 b128 on v5e
     — when the modulus fits its q < 2^62 bound; 32-bit batched
     PerPolynomial transforms take the roll-based VPU kernel; everything
-    else takes the XLA engine."""
+    else takes the XLA engine.
+
+    Direction matters at the in-VMEM ceiling: the u64 INVERSE kernel's
+    scoped-VMEM stack runs hotter than the forward's (W^-1 products
+    live across the matmul phases) and exceeds the v5e 16M limit at
+    2^17 (16.66M measured, benchmarks/chiplog/r3_merge26.out) — so
+    logn 17 inverse takes the large-ring composed route instead."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -71,8 +78,10 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
         return None
     if plan.is64:
         if plan.q < (1 << 62):
-            if 12 <= plan.logn <= 17:
+            if 12 <= plan.logn <= (16 if inverse else 17):
                 return "mxu"
+            if plan.logn == 17:
+                return "mxu-large"
             # logn 24-28 exceeds what the compiler handles as one
             # composed col+row program; inside a trace it stays on the
             # XLA engine, but the numpy entry points run the staged
@@ -93,12 +102,14 @@ def _kernel_path(plan: MergePlan, x_shape, layout) -> str | None:
 _MXU_PATHS = ("mxu", "mxu-large", "mxu32-large")
 
 
-def _explicit_path(plan: MergePlan) -> str:
+def _explicit_path(plan: MergePlan, inverse: bool = False) -> str:
     """Route for an explicit use_pallas=True request: the best Pallas
     kernel for the plan's width and size (unlike "auto", no backend
-    check — the caller insisted)."""
+    check — the caller insisted).  Same logn-17 inverse exception as
+    _kernel_path (the in-VMEM inverse kernel exceeds scoped VMEM
+    there)."""
     if plan.is64:
-        return "mxu" if plan.logn <= 17 else "mxu-large"
+        return "mxu" if plan.logn <= (16 if inverse else 17) else "mxu-large"
     return "vpu" if plan.logn <= 18 else "mxu32-large"
 
 
@@ -202,9 +213,10 @@ def intt_lanes(
     x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
-        use_pallas = _kernel_path(plan, shape, NTTLayout.PerPolynomial)
+        use_pallas = _kernel_path(plan, shape, NTTLayout.PerPolynomial,
+                                  inverse=True)
     elif use_pallas is True:
-        use_pallas = _explicit_path(plan)
+        use_pallas = _explicit_path(plan, inverse=True)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
     if use_pallas in _MXU_PATHS:
         y = _mxu_fn(x, _mp, inverse=True)
@@ -585,7 +597,11 @@ def polymul_lanes(a, b, plan: MergePlan, use_pallas: bool | str = "auto"):
     fa = ntt_lanes(a, plan, use_pallas=use_pallas)
     fb = ntt_lanes(b, plan, use_pallas=use_pallas)
     shape = jax.tree_util.tree_leaves(fa)[0].shape
-    path = (_kernel_path(plan, shape, NTTLayout.PerPolynomial)
+    # the fused product+inverse kernel inherits the INVERSE kernel's
+    # scoped-VMEM profile (and adds the 128-bit product) — route with
+    # inverse=True so logn 17 takes the large-ring fusion
+    path = (_kernel_path(plan, shape, NTTLayout.PerPolynomial,
+                         inverse=True)
             if use_pallas == "auto" else None)
     if path in ("mxu", "mxu-large"):
         path, mp, _fn = _resolve_mxu(path, plan)

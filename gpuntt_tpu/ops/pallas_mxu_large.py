@@ -79,6 +79,11 @@ class MXULargePlan:
     r40s: int = 0
     cadd: int = 0
     canon_chain: tuple = ()
+    # inverse column tile (<= tile): the inverse kernel's VMEM stack runs
+    # ~2-3M hotter than the forward's at the same tile (the W^-1 Shoup
+    # products stay live across the matmul) — merge24 A=256 T=512
+    # measured 18.22M against the 16M scoped limit where the forward fit
+    tile_inv: int = 0
 
     @staticmethod
     def from_params(p: NTTParameters, a_col: int | None = None,
@@ -92,7 +97,7 @@ class MXULargePlan:
     @staticmethod
     def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
                   n_inv: int, a_col: int | None = None,
-                  tile: int | None = None, max_row_logn: int = 17,
+                  tile: int | None = None, max_row_logn: int = 16,
                   row_kwargs: dict | None = None) -> "MXULargePlan":
         """Plan for a merge NTT given its field spec (`root` is omega
         for X_N_minus, psi for X_N_plus; `n_inv` is the total inverse
@@ -129,10 +134,17 @@ class MXULargePlan:
         # column tile scales inversely with A: the kernel's VMEM stack is
         # proportional to A*T (the inverse variant at A=512, T=512
         # measured 20.9M against the 16M scoped limit); the RNS wrapper
-        # passes a smaller tile (its table blocks are double-buffered)
+        # passes a smaller tile (its table blocks are double-buffered).
+        # The inverse gets half the forward's budget (see tile_inv doc).
         if tile is None:
             tile = min(B, max(128, (1 << 17) // A))
-        tile = min(tile, B)
+            # inverse stack grows with A: chip-measured fits/overflows —
+            # A=128 T=1024 fits (r2 logn 20-23 inverse cells), A=256
+            # T=512 is 18.22M > 16M, A=512 T=512 was 20.9M
+            tile_inv = tile if A <= 128 else min(B, max(128, (1 << 16) // A))
+        else:
+            tile = min(tile, B)
+            tile_inv = tile
         r, ri = root, iroot
         brA = [bitreverse(a, logA) for a in range(A)]
 
@@ -159,8 +171,8 @@ class MXULargePlan:
 
         wt_f, ws_f = w_factor(w_base, np.arange(tile),
                               np.arange(B // tile) * tile, q)
-        wt_i, ws_i = w_factor(wi_base, np.arange(tile),
-                              np.arange(B // tile) * tile, q)
+        wt_i, ws_i = w_factor(wi_base, np.arange(tile_inv),
+                              np.arange(B // tile_inv) * tile_inv, q)
 
         def dig(m):
             return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)))
@@ -189,11 +201,15 @@ class MXULargePlan:
                       row_fwd=d_rf, row_fwd_corr=_corr_right(d_rf),
                       row_inv=d_ri, row_inv_corr=_corr_right(d_ri))
         elif logB <= max_row_logn:
+            # max_row_logn is 16, not the kernel's forward 2^17 ceiling:
+            # the in-VMEM INVERSE kernel needs 16.66M scoped VMEM at
+            # 2^17 (v5e limit 16M, chiplog/r3_merge26.out) — 2^17 rows
+            # recurse into a nested plan instead (merge 2^26 with A=512)
             kw = dict(row_plan=MXUMergePlan.from_spec(
                 q, logB, row_root, row_iroot, xnp=False,
                 n_inv=pow(B, q - 2, q)))
         else:
-            # rows beyond the in-VMEM kernel: recurse (logn 27-28 —
+            # rows beyond the in-VMEM kernel: recurse (logn 26-28 —
             # the analog of the reference's extra launches for big N)
             kw = dict(row_plan=MXULargePlan.from_spec(
                 q, logB, row_root, row_iroot, xnp=False,
@@ -203,7 +219,7 @@ class MXULargePlan:
         rc = reduction_consts(q, NDIAG)
 
         return MXULargePlan(
-            logn=logn, q=q, A=A, B=B, tile=tile,
+            logn=logn, q=q, A=A, B=B, tile=tile, tile_inv=tile_inv,
             col_fwd=col_fwd, col_fwd_corr=_corr_left(col_fwd),
             wt_fwd=pack(wt_f), ws_fwd=pack(ws_f),
             col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
@@ -226,7 +242,7 @@ jax.tree_util.register_dataclass(
                  "row_plan", "row_fwd", "row_fwd_corr",
                  "row_inv", "row_inv_corr"],
     meta_fields=["logn", "q", "A", "B", "tile", "r40", "r40s", "cadd",
-                 "canon_chain"],
+                 "canon_chain", "tile_inv"],
 )
 
 
@@ -276,14 +292,16 @@ def _colinv_kernel(md, mc, wth, wtl, wtsh, wtsl, wsh_, wsl_, wssh, wssl,
 def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
               interpret: bool) -> U64:
     batch, n = x.hi.shape
-    A, B, T = plan.A, plan.B, plan.tile
+    A, B = plan.A, plan.B
     consts = kernel_consts(plan)
     if inverse:
         kernel, md, mc = _colinv_kernel, plan.col_inv, plan.col_inv_corr
         wt, ws = plan.wt_inv, plan.ws_inv
+        T = plan.tile_inv or plan.tile
     else:
         kernel, md, mc = _colfwd_kernel, plan.col_fwd, plan.col_fwd_corr
         wt, ws = plan.wt_fwd, plan.ws_fwd
+        T = plan.tile
 
     def fullspec(a):
         return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,

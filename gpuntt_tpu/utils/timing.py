@@ -60,7 +60,7 @@ def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6, extra=()):
 
 
 def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
-                       extra=()):
+                       extra=(), target_noise=0.25, k_hi_max=2560):
     """Marginal per-application time via lax.scan chains, plus a noise
     bound — for sub-0.1 ms kernels (the reference's batch-1 nvbench
     scope) where the k=1/k=4 slope drowns in relay dispatch jitter.
@@ -68,7 +68,11 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
     A scan of depth k compiles ONE loop body regardless of k (unlike
     the unrolled time_chain, whose compile cost made deep chains
     unusable at logn >= 19), so the measured window (k_hi - k_lo) * t
-    can be pushed far above the ~1-5 ms dispatch variance.  Returns
+    can be pushed far above the ~1-5 ms dispatch variance.  When the
+    spread still exceeds `target_noise` (microsecond kernels at
+    logn 12-14 need k ~ 1024, VERDICT r2), the chain depth escalates
+    4x — compile cost is flat in k, runtime stays < ~100 ms/chain —
+    until the bound is met or `k_hi_max` is reached.  Returns
     (t_per_application, noise_frac) where noise_frac is the
     max-minus-min spread of the per-repeat slopes over their median.
     """
@@ -78,6 +82,50 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
     def chain(k):
         return jax.jit(lambda v, *ex: lax.scan(
             lambda c, _: (fn(c, *ex), None), v, None, length=k)[0])
+
+    def once(cj):
+        t0 = time.perf_counter()
+        o = x
+        for _ in range(iters):
+            o = cj(o, *extra)
+        fetch_one(o)
+        return (time.perf_counter() - t0) / iters
+
+    def measure(k_lo, k_hi):
+        c_lo, c_hi = chain(k_lo), chain(k_hi)
+        fetch_one(c_lo(x, *extra))
+        fetch_one(c_hi(x, *extra))
+        slopes = []
+        for _ in range(repeats):
+            slopes.append(
+                max((once(c_hi) - once(c_lo)) / (k_hi - k_lo), 1e-9))
+        slopes.sort()
+        med = slopes[len(slopes) // 2]
+        return med, (slopes[-1] - slopes[0]) / med
+
+    med, noise = measure(k_lo, k_hi)
+    while noise > target_noise and k_hi * 4 <= k_hi_max:
+        k_lo, k_hi = k_lo * 4, k_hi * 4
+        med, noise = measure(k_lo, k_hi)
+    return med, noise
+
+
+def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=6, repeats=4,
+                         extra=()):
+    """time_marginal with a noise bound: the k_lo/k_hi slope is taken
+    per repeat (unrolled chains — for composed multi-kernel programs
+    that crash the relay compile helper under lax.scan, CLAUDE.md) and
+    the median + max-minus-min/median spread returned, matching
+    time_marginal_scan's contract."""
+    import jax
+
+    def chain(k):
+        def g(v, *ex):
+            for _ in range(k):
+                v = fn(v, *ex)
+            return v
+
+        return jax.jit(g)
 
     c_lo, c_hi = chain(k_lo), chain(k_hi)
     fetch_one(c_lo(x, *extra))
@@ -96,8 +144,7 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
         slopes.append(max((once(c_hi) - once(c_lo)) / (k_hi - k_lo), 1e-9))
     slopes.sort()
     med = slopes[len(slopes) // 2]
-    noise = (slopes[-1] - slopes[0]) / med
-    return med, noise
+    return med, (slopes[-1] - slopes[0]) / med
 
 
 def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3):

@@ -13,11 +13,11 @@ from gpuntt_tpu.params.merge import NTTLayout
 
 
 def _path(monkeypatch, logn, dtype, backend="tpu",
-          layout=NTTLayout.PerPolynomial):
+          layout=NTTLayout.PerPolynomial, inverse=False):
     monkeypatch.setattr(dispatch.jax, "default_backend", lambda: backend)
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=dtype)
     plan = MergePlan.from_params(p)
-    return dispatch._kernel_path(plan, (4, p.n), layout)
+    return dispatch._kernel_path(plan, (4, p.n), layout, inverse=inverse)
 
 
 def test_u64_routes(monkeypatch):
@@ -26,6 +26,28 @@ def test_u64_routes(monkeypatch):
     assert _path(monkeypatch, 18, np.uint64) == "mxu-large"
     assert _path(monkeypatch, 23, np.uint64) == "mxu-large"
     assert _path(monkeypatch, 24, np.uint64) is None  # XLA engine
+
+
+def test_u64_inverse_17_routes_large(monkeypatch):
+    """The in-VMEM u64 INVERSE kernel exceeds the 16M scoped-VMEM limit
+    at 2^17 (16.66M, chiplog/r3_merge26.out); the inverse (only) takes
+    the large-ring composed route at that size."""
+    assert _path(monkeypatch, 16, np.uint64, inverse=True) == "mxu"
+    assert _path(monkeypatch, 17, np.uint64, inverse=True) == "mxu-large"
+    assert _path(monkeypatch, 18, np.uint64, inverse=True) == "mxu-large"
+
+
+def test_staged_plan_rows_cap_at_2p16():
+    """Staged big-N plans never delegate 2^17 rows to the in-VMEM
+    kernel (its inverse does not fit scoped VMEM): merge 2^26 rows
+    recurse into a nested large plan instead."""
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+    from gpuntt_tpu.ops.pallas_mxu_large import MXULargePlan
+
+    p = NTTParameters(26, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    mp = MXULargePlan.from_params(p)
+    assert isinstance(mp.row_plan, MXULargePlan)  # 2^17 rows -> nested
+    assert isinstance(mp.row_plan.row_plan, MXUMergePlan)
 
 
 def test_u32_routes(monkeypatch):

@@ -89,19 +89,20 @@ def test_mxu_large_recursive_rows(poly, rng):
 def test_mxu_large_bigring_plan_shapes():
     """Default splits for the logn 24-28 range: A capped at 512 (the
     diagonal-accumulator exactness bound), rows in the in-VMEM kernel
-    through logn 26, recursion at 27-28."""
+    through 2^16 rows (logn 24-25), recursion beyond (logn 26-28: the
+    in-VMEM inverse kernel exceeds scoped VMEM at 2^17,
+    chiplog/r3_merge26.out)."""
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
 
     p24 = NTTParameters(24, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     pl24 = MXULargePlan.from_params(p24)
     assert (pl24.A, pl24.B) == (256, 1 << 16)
     assert isinstance(pl24.row_plan, MXUMergePlan)
-    for lg, a_exp in [(25, 512), (26, 512)]:
-        p = NTTParameters(lg, ReductionPolynomial.X_N_plus, dtype=np.uint64)
-        pl = MXULargePlan.from_params(p)
-        assert pl.A == a_exp and pl.A * pl.B == 1 << lg
-        assert isinstance(pl.row_plan, MXUMergePlan)
-    for lg in (27, 28):
+    p25 = NTTParameters(25, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    pl25 = MXULargePlan.from_params(p25)
+    assert pl25.A == 512 and pl25.A * pl25.B == 1 << 25
+    assert isinstance(pl25.row_plan, MXUMergePlan)
+    for lg in (26, 27, 28):
         p = NTTParameters(lg, ReductionPolynomial.X_N_plus, dtype=np.uint64)
         pl = MXULargePlan.from_params(p)
         assert pl.A == 512
