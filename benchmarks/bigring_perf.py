@@ -186,8 +186,57 @@ def fourstep24():
     print(json.dumps(rec), flush=True)
 
 
+def polymul24():
+    """Flagship end-to-end workload at the big-N scale: staged polymul
+    (product fused into the row-inverse program) vs the unfused staged
+    chain — bit-exactness of the fusion plus both timings."""
+    import jax
+
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial
+    from gpuntt_tpu.ops.dispatch import _pointwise_jit
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, from_lanes, to_lanes
+    from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
+                                                 staged_mxu_large_polymul,
+                                                 staged_mxu_large_u64)
+    from gpuntt_tpu.utils.timing import fetch_one, time_marginal_eager
+
+    log("polymul 2^24 u64 batch 1 — staged fused vs unfused")
+    p = NTTParameters(24, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = MergePlan.from_params(p)
+    mp = mxu_large_plan(p)
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64)
+    b = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64)
+    la, lb = to_lanes(a, True), to_lanes(b, True)
+
+    def unfused(u, v):
+        fa = staged_mxu_large_u64(u, mp)
+        fb = staged_mxu_large_u64(v, mp)
+        return staged_mxu_large_u64(_pointwise_jit(fa, fb, plan), mp,
+                                    inverse=True)
+
+    t0 = time.perf_counter()
+    got_f = from_lanes(staged_mxu_large_polymul(la, lb, mp), True)
+    log(f"  fused ran ({time.perf_counter() - t0:.1f}s incl compile)")
+    t0 = time.perf_counter()
+    got_u = from_lanes(unfused(la, lb), True)
+    log(f"  unfused ran ({time.perf_counter() - t0:.1f}s incl compile)")
+    assert np.array_equal(got_f, got_u), "fused != unfused polymul"
+    log("  fused == unfused PASS bit-exact")
+
+    tf, nf = time_marginal_eager(
+        lambda u: staged_mxu_large_polymul(u, lb, mp), la, iters=2)
+    tu, nu = time_marginal_eager(lambda u: unfused(u, lb), la, iters=2)
+    rec = {"cell": "polymul24", "dtype": "u64", "batch": 1,
+           "fused_ms": round(tf * 1e3, 3), "unfused_ms": round(tu * 1e3, 3),
+           "noise_fused": round(nf, 3), "noise_unfused": round(nu, 3),
+           "timing": "eager-chain marginal, staged device-resident",
+           "parity": "PASS (fused == unfused)"}
+    print(json.dumps(rec), flush=True)
+
+
 CELLS = ["merge24", "merge25", "merge26", "merge27", "merge28",
-         "u32m24", "u32m25", "fourstep24"]
+         "u32m24", "u32m25", "fourstep24", "polymul24"]
 
 
 def run_all():

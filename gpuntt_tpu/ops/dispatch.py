@@ -284,6 +284,43 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
 _staged_route = staged_ntt_lanes
 
 
+@jax.jit
+def _pointwise_jit(fa, fb, plan: MergePlan):
+    return pointwise_mult_lanes(fa, fb, plan)
+
+
+def staged_polymul_lanes(a_lanes, b_lanes, plan: MergePlan):
+    """Device-resident polymul INTT(NTT(a) o NTT(b)) at logn 24-28 on
+    TPU: forward phases per input, then (rows delegating to the in-VMEM
+    kernel, merge 24-25) the pointwise product FUSED into the
+    row-inverse program — the big-N analog of the in-VMEM fused polymul
+    — else the product as its own jitted program between the staged
+    chains.  Returns None when the staged route is ineligible."""
+    import jax as _jax
+
+    if (_jax.default_backend() != "tpu" or not plan.is64
+            or plan.params is None or plan.q >= (1 << 62)
+            or not 24 <= plan.logn <= 28):
+        return None
+    if len(jax.tree_util.tree_leaves(a_lanes)[0].shape) != 2:
+        return None
+    from .pallas_mxu_large import (mxu_large_plan, staged_mxu_large_polymul,
+                                   staged_mxu_large_u64)
+
+    try:
+        mp = mxu_large_plan(plan.params)
+    except ValueError:
+        return None  # garbage-in factors: XLA engine parity path
+    try:
+        return staged_mxu_large_polymul(a_lanes, b_lanes, mp)
+    except ValueError:
+        pass  # recursive rows (logn >= 26): unfused staged chain
+    fa = staged_mxu_large_u64(a_lanes, mp)
+    fb = staged_mxu_large_u64(b_lanes, mp)
+    prod = _pointwise_jit(fa, fb, plan)
+    return staged_mxu_large_u64(prod, mp, inverse=True)
+
+
 # ------------------------------------------------------ numpy convenience
 
 
@@ -630,6 +667,11 @@ def polymul(x, y, plan: MergePlan):
     x = np.asarray(x)
     y = np.asarray(y)
     if plan.logn >= 24:
+        xl = to_lanes(x, plan.is64)
+        yl = to_lanes(y, plan.is64)
+        staged = staged_polymul_lanes(xl, yl, plan)
+        if staged is not None:
+            return from_lanes(staged, plan.is64)
         return intt(pointwise_mult(ntt(x, plan), ntt(y, plan), plan), plan)
     xl = to_lanes(x, plan.is64)
     yl = to_lanes(y, plan.is64)

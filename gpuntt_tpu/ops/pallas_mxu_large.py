@@ -473,3 +473,39 @@ def staged_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
         return _col_phase(y, plan, inverse=True, interpret=interpret)
     y = _col_phase(x, plan, inverse=False, interpret=interpret)
     return _row_phase(y, plan, inverse=False, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _row_polymul_inv_phase(fa: U64, fb: U64, plan: MXULargePlan,
+                           interpret: bool = False) -> U64:
+    """Pointwise product of two spectra fused into the row-INVERSE
+    program (pallas_mxu_polymul_inv_u64 on the delegated rows) — the
+    staged big-N analog of the in-VMEM fused polymul kernel, saving the
+    HBM round trip of the full-ring product buffer."""
+    from .pallas_mxu import pallas_mxu_polymul_inv_u64
+
+    batch, n = fa.hi.shape
+    A, B = plan.A, plan.B
+    ra = U64(fa.hi.reshape(batch * A, B), fa.lo.reshape(batch * A, B))
+    rb = U64(fb.hi.reshape(batch * A, B), fb.lo.reshape(batch * A, B))
+    y = pallas_mxu_polymul_inv_u64(ra, rb, plan.row_plan,
+                                   interpret=interpret)
+    return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
+
+
+def staged_mxu_large_polymul(a: U64, b: U64, plan: MXULargePlan,
+                             interpret: bool = False) -> U64:
+    """Device-resident staged polymul, INTT(NTT(a) o NTT(b)), for
+    logn >= 24 rings whose rows delegate to the in-VMEM kernel
+    (merge 24-25): five cached jitted programs — col/row forward per
+    input, then product+row-inverse fused in one program, then the
+    inverse column phase.  Raises ValueError when rows recurse
+    (logn >= 26) — callers fall back to the unfused staged chain."""
+    if not isinstance(plan.row_plan, MXUMergePlan):
+        raise ValueError("staged fused polymul needs MXUMergePlan rows")
+    fa = _row_phase(_col_phase(a, plan, inverse=False, interpret=interpret),
+                    plan, inverse=False, interpret=interpret)
+    fb = _row_phase(_col_phase(b, plan, inverse=False, interpret=interpret),
+                    plan, inverse=False, interpret=interpret)
+    y = _row_polymul_inv_phase(fa, fb, plan, interpret=interpret)
+    return _col_phase(y, plan, inverse=True, interpret=interpret)

@@ -168,6 +168,46 @@ def test_fused_polymul_inverse_large(rng):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_staged_polymul_fused(rng):
+    """staged_mxu_large_polymul (product fused into the row-inverse
+    phase program, merge 24-25 shape) == schoolbook, at a reduced
+    split with delegated MXUMergePlan rows."""
+    from gpuntt_tpu import schoolbook_poly_multiplication
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+    from gpuntt_tpu.ops.pallas_mxu_large import (MXULargePlan,
+                                                 staged_mxu_large_polymul)
+
+    p = NTTParameters(13, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = plan_to_device(MXULargePlan.from_params(p, a_col=4))
+    assert isinstance(plan.row_plan, MXUMergePlan)
+    a = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+    b = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+    got = from_lanes(
+        staged_mxu_large_polymul(to_lanes(a, True), to_lanes(b, True),
+                                 plan, interpret=True), True)
+    exp = np.stack([
+        schoolbook_poly_multiplication(a[i], b[i], p.modulus,
+                                       p.poly_reduction)
+        for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_staged_polymul_recursive_rows_raise(rng):
+    """Recursive-row plans (merge 26-28) reject the fused entry —
+    dispatch.staged_polymul_lanes then runs the unfused staged chain."""
+    from gpuntt_tpu.ops.pallas_mxu_large import (MXULargePlan,
+                                                 staged_mxu_large_polymul)
+
+    p = NTTParameters(14, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    q = p.modulus.value
+    plan = plan_to_device(MXULargePlan.from_spec(
+        q, p.logn, p.root_of_unity, p.inverse_root_of_unity, True,
+        pow(p.n, q - 2, q), a_col=8, max_row_logn=9, row_kwargs=dict(a_col=8)))
+    x = to_lanes(rng.integers(0, q, size=(1, p.n), dtype=np.uint64), True)
+    with pytest.raises(ValueError, match="MXUMergePlan rows"):
+        staged_mxu_large_polymul(x, x, plan, interpret=True)
+
+
 def test_staged_fourstep32_parity(rng):
     from gpuntt_tpu.ops import pallas_mxu_4step as m4
     from gpuntt_tpu.ops.fourstep import (FourStepPlan, fourstep_intt_lanes,
