@@ -98,28 +98,26 @@ def merge28():
 
 
 def _u32_cell(logn: int):
-    """u32 above the Pallas gates rides the XLA butterfly engine under
-    jit with the plan as argument (reference u32 pool reaches logn 25,
-    nttparameters.cu:84-98)."""
-    import jax
-
+    """u32 big rings ride the staged MXU route (r3; the XLA butterfly
+    engine at 2^24 took >15 min of relay compile and is the fallback
+    for off-pool moduli only).  Reference u32 pool reaches logn 25
+    (nttparameters.cu:84-98)."""
     from gpuntt_tpu import NTTParameters, ReductionPolynomial
     from gpuntt_tpu import _native
-    from gpuntt_tpu.ops.dispatch import intt_lanes, ntt_lanes
-    from gpuntt_tpu.ops.merge_ntt import MergePlan
-    from gpuntt_tpu.utils.timing import fetch_one, time_chain
+    from gpuntt_tpu.ops.pallas_mxu32 import (mxu32_large_plan,
+                                             staged_mxu32_large)
+    from gpuntt_tpu.utils.timing import time_marginal_eager
 
-    log(f"merge 2^{logn} u32 batch 1 — XLA butterfly engine (jit)")
+    log(f"merge 2^{logn} u32 batch 1 — staged device-resident route")
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint32)
-    plan = MergePlan.from_params(p)
+    mp = mxu32_large_plan(p)
+    log(f"  plan: A={mp.A} B={mp.B} tile={mp.tile}/{mp.tile_inv}")
     rng = np.random.default_rng(7)
     x = rng.integers(0, p.modulus.value, size=(1, p.n),
                      dtype=np.uint64).astype(np.uint32)
 
-    fwd_j = jax.jit(lambda v, pl: ntt_lanes(v, pl))
-    inv_j = jax.jit(lambda v, pl: intt_lanes(v, pl))
     t0 = time.perf_counter()
-    got = np.asarray(fwd_j(x, plan))
+    got = np.asarray(staged_mxu32_large(x, mp))
     log(f"  fwd ran ({time.perf_counter() - t0:.1f}s incl compile)")
     exp = _native.ntt_merge(
         x[0].astype(np.uint64), logn,
@@ -128,17 +126,26 @@ def _u32_cell(logn: int):
     assert np.array_equal(got[0], exp), f"u32 merge{logn} fwd mismatch"
     log("  fwd PASS bit-exact (full native-oracle comparison)")
     t0 = time.perf_counter()
-    back = np.asarray(inv_j(got, plan))
+    back = np.asarray(staged_mxu32_large(got, mp, inverse=True))
     log(f"  inv ran ({time.perf_counter() - t0:.1f}s incl compile)")
     assert np.array_equal(back, x), f"u32 merge{logn} inv mismatch"
     log("  inv PASS bit-exact (round trip)")
 
-    fwd = time_chain(lambda v, pl: ntt_lanes(v, pl), x, k=1, extra=(plan,))
-    inv = time_chain(lambda v, pl: intt_lanes(v, pl), x, k=1, extra=(plan,))
+    # device-resident input: timing with a host numpy array re-uploads
+    # the full ring through the relay on every chain start and the
+    # transfer variance swamps the slope (observed: fwd 0.0 ms at
+    # noise 6e8 on the first u32m25 drive)
+    import jax.numpy as jnp
+
+    xd = jnp.asarray(x)
+    fwd, nf = time_marginal_eager(lambda v: staged_mxu32_large(v, mp), xd)
+    inv, ni = time_marginal_eager(
+        lambda v: staged_mxu32_large(v, mp, inverse=True), xd)
     rec = {"cell": f"u32merge{logn}", "dtype": "u32", "batch": 1,
            "fwd_ms_per_ntt": round(fwd * 1e3, 3),
            "inv_ms_per_ntt": round(inv * 1e3, 3),
-           "timing": "k=1 chain (XLA engine; incl dispatch)",
+           "noise_fwd": round(nf, 3), "noise_inv": round(ni, 3),
+           "timing": "eager-chain marginal, staged device-resident",
            "parity": "PASS"}
     print(json.dumps(rec), flush=True)
 

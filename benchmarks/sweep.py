@@ -117,6 +117,21 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
             lambda v: staged_mxu_large_u64(v, mp, inverse=True), lanes)
         return fwd, inv, (f"eager-chain marginal (staged device-resident, "
                           f"noise fwd {nf:.0%} inv {ni:.0%})")
+    if (tpu and not plan.is64 and plan.q < (1 << 30)
+            and 24 <= logn <= 25):
+        # u32 staged route (reference u32 pool ceiling is logn 25)
+        from gpuntt_tpu.ops.pallas_mxu32 import (mxu32_large_plan,
+                                                 staged_mxu32_large)
+        from gpuntt_tpu.utils.timing import time_marginal_eager
+
+        mp = mxu32_large_plan(p)
+        xu = to_lanes(x.astype(dtype), False)  # device-resident
+        fwd, nf = time_marginal_eager(
+            lambda v: staged_mxu32_large(v, mp), xu)
+        inv, ni = time_marginal_eager(
+            lambda v: staged_mxu32_large(v, mp, inverse=True), xu)
+        return fwd, inv, (f"eager-chain marginal (staged device-resident, "
+                          f"noise fwd {nf:.0%} inv {ni:.0%})")
     if tpu and _kernel_path(plan, x.shape, NTTLayout.PerPolynomial) is None:
         # XLA butterfly engine.  The historical k>1 compile blowup at
         # logn >= 19 was constant folding of closure-captured tables;

@@ -254,16 +254,37 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
     the compiler.  NOT jittable as a whole; call from eager code with
     lane-representation (U64 pair / uint32) inputs; the first call per
     (plan, batch) compiles each phase, later calls are cache hits.
-    Returns None when ineligible (non-TPU, u32, wide q, non-root
-    factors) — callers fall back to the jitted XLA engine."""
+    Returns None when ineligible (non-TPU, wide q, u32 beyond the
+    pool ceiling, non-root factors) — callers fall back to the jitted
+    XLA engine."""
     import jax as _jax
 
-    if (_jax.default_backend() != "tpu" or not plan.is64
-            or plan.params is None or plan.q >= (1 << 62)
+    if (_jax.default_backend() != "tpu" or plan.params is None
             or not 24 <= plan.logn <= 28):
         return None
     shape = jax.tree_util.tree_leaves(x_lanes)[0].shape
     if len(shape) != 2:
+        return None
+    if not plan.is64:
+        # u32 staged route: the reference u32 pool reaches logn 25
+        # (nttparameters.cu:84-98) — 2 cached phase programs, same
+        # design as the u64 route below
+        if plan.q >= (1 << 30) or plan.logn > 25:
+            return None
+        from .pallas_mxu32 import mxu32_large_plan, staged_mxu32_large
+
+        try:
+            mp = mxu32_large_plan(plan.params)
+        except ValueError:
+            return None
+        x_lanes = _apply_layout_in(x_lanes, layout)
+        if signed_input:
+            x_lanes = bo.reduce_signed32(x_lanes, plan.q)
+        y = staged_mxu32_large(x_lanes, mp, inverse=inverse)
+        if signed_output:
+            y = bo.centered32(y, plan.q)
+        return _apply_layout_out(y, layout)
+    if plan.q >= (1 << 62):
         return None
     from .pallas_mxu_large import mxu_large_plan, staged_mxu_large_u64
 

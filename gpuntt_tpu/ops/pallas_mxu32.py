@@ -243,6 +243,11 @@ class MXU32LargePlan:
     ws_inv: Any
     row_plan: MXU32Plan  # B-point spec; inverse folds B^-1
     consts: Any
+    # inverse column tile (<= tile): same scoped-VMEM asymmetry as the
+    # u64 engine (pallas_mxu_large.MXULargePlan.tile_inv) — the W^-1
+    # products stay live across the matmul, so the inverse gets half
+    # the budget when A > the chip-proven 128
+    tile_inv: int = 0
 
     @staticmethod
     def from_params(p: NTTParameters, a_col: int | None = None) -> "MXU32LargePlan":
@@ -260,7 +265,12 @@ class MXU32LargePlan:
         logA = A.bit_length() - 1
         logB = p.logn - logA
         assert 1 <= logB <= 17
-        tile = min(B, 2048)
+        assert A <= 512, "A <= 512 keeps int8-digit accumulators exact"
+        # A*T capped at the chip-proven 2^18 u32 lanes (A=128 T=2048,
+        # r1/r2 mxu32-large cells); inverse halved for A > 128 like the
+        # u64 engine's tile_inv
+        tile = min(B, 2048, max(128, (1 << 18) // A))
+        tile_inv = tile if A <= 128 else min(B, max(128, (1 << 17) // A))
         brA = [bitreverse(a, logA) for a in range(A)]
 
         if xnp:
@@ -284,8 +294,8 @@ class MXU32LargePlan:
 
         wt_f, ws_f = w_factor(w_base, np.arange(tile),
                               np.arange(B // tile) * tile, q)
-        wt_i, ws_i = w_factor(wi_base, np.arange(tile),
-                              np.arange(B // tile) * tile, q)
+        wt_i, ws_i = w_factor(wi_base, np.arange(tile_inv),
+                              np.arange(B // tile_inv) * tile_inv, q)
 
         def dig(m):
             return balanced_digits(
@@ -300,7 +310,7 @@ class MXU32LargePlan:
         row_plan = MXU32Plan.from_spec(q, logB, row_root, row_iroot,
                                        xnp=False, n_inv=pow(B, q - 2, q))
         return MXU32LargePlan(
-            logn=p.logn, q=q, A=A, B=B, tile=tile,
+            logn=p.logn, q=q, A=A, B=B, tile=tile, tile_inv=tile_inv,
             col_fwd=col_fwd, col_fwd_corr=_corr_left(col_fwd),
             wt_fwd=pack32(wt_f), ws_fwd=pack32(ws_f),
             col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
@@ -313,7 +323,7 @@ jax.tree_util.register_dataclass(
     MXU32LargePlan,
     data_fields=["col_fwd", "col_fwd_corr", "wt_fwd", "ws_fwd",
                  "col_inv", "col_inv_corr", "wt_inv", "ws_inv", "row_plan"],
-    meta_fields=["logn", "q", "A", "B", "tile", "consts"],
+    meta_fields=["logn", "q", "A", "B", "tile", "consts", "tile_inv"],
 )
 
 
@@ -348,13 +358,15 @@ def _colinv32(md, mc, wtv, wts, wsv, wss, xr, orf, *, consts):
 
 def _col_call32(x, plan: "MXU32LargePlan", inverse: bool, interpret: bool):
     batch = x.shape[0]
-    A, B, T = plan.A, plan.B, plan.tile
+    A, B = plan.A, plan.B
     if inverse:
         kernel, md, mc = _colinv32, plan.col_inv, plan.col_inv_corr
         wt, ws = plan.wt_inv, plan.ws_inv
+        T = plan.tile_inv or plan.tile
     else:
         kernel, md, mc = _colfwd32, plan.col_fwd, plan.col_fwd_corr
         wt, ws = plan.wt_fwd, plan.ws_fwd
+        T = plan.tile
 
     def fullspec(a):
         return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
@@ -389,3 +401,40 @@ def pallas_mxu32_large(x, plan: "MXU32LargePlan", inverse: bool = False,
     z = pallas_mxu_u32(y.reshape(batch * A, B), plan.row_plan,
                        interpret=interpret)
     return z.reshape(batch, n)
+
+
+# ------------------------------------------- staged big-N route (logn 24-25)
+#
+# u32 mirror of pallas_mxu_large's staged route: each phase its own
+# cached jitted program (plan as pytree argument), arrays device-resident
+# between them.  The reference u32 pool tops out at logn 25
+# (nttparameters.cu:84-98); A = max(128, n >> 16) keeps rows at 2^16,
+# inside the in-VMEM u32 kernel, so no recursion branch is needed.
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _col_phase32(x, plan: "MXU32LargePlan", inverse: bool,
+                 interpret: bool = False):
+    batch, n = x.shape
+    return _col_call32(x, plan, inverse, interpret).reshape(batch, n)
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _row_phase32(x, plan: "MXU32LargePlan", inverse: bool,
+                 interpret: bool = False):
+    batch, n = x.shape
+    A, B = plan.A, plan.B
+    y = pallas_mxu_u32(x.reshape(batch * A, B), plan.row_plan,
+                       inverse=inverse, interpret=interpret)
+    return y.reshape(batch, n)
+
+
+def staged_mxu32_large(x, plan: "MXU32LargePlan", inverse: bool = False,
+                       interpret: bool = False):
+    """Device-resident staged u32 merge NTT for logn 24-25; NOT
+    jittable as a whole (like staged_mxu_large_u64 — chain eagerly)."""
+    if inverse:
+        y = _row_phase32(x, plan, inverse=True, interpret=interpret)
+        return _col_phase32(y, plan, inverse=True, interpret=interpret)
+    y = _col_phase32(x, plan, inverse=False, interpret=interpret)
+    return _row_phase32(y, plan, inverse=False, interpret=interpret)

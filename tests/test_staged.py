@@ -168,6 +168,23 @@ def test_fused_polymul_inverse_large(rng):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_staged_merge32_parity(rng):
+    """u32 staged route (merge 24-25 analog) at a reduced split."""
+    from gpuntt_tpu.ops.pallas_mxu32 import MXU32LargePlan, staged_mxu32_large
+
+    p = NTTParameters(13, ReductionPolynomial.X_N_plus, dtype=np.uint32)
+    plan = plan_to_device(MXU32LargePlan.from_params(p, a_col=16))
+    gen = NTTCPU(p)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    got = np.asarray(staged_mxu32_large(x, plan, interpret=True))
+    np.testing.assert_array_equal(got, exp)
+    back = np.asarray(staged_mxu32_large(exp, plan, inverse=True,
+                                         interpret=True))
+    np.testing.assert_array_equal(back, x)
+
+
 def test_staged_polymul_fused(rng):
     """staged_mxu_large_polymul (product fused into the row-inverse
     phase program, merge 24-25 shape) == schoolbook, at a reduced
