@@ -179,10 +179,13 @@ def fourstep24():
     # parity of the full pipeline is bigring_diag.fourstep24's job
     # (already PASS on chip, r2); here we spot the core convention:
     # ntt_full == golden was established there, core reuses it.
+    # deeper repeats than the merge cells: the 4-step staged chain is
+    # more programs per application, so per-repeat slopes jitter more
+    # (first drive read 45%/93% noise at repeats=3)
     fwd, nf = time_marginal_eager(
-        lambda v: fourstep_ntt_lanes(v, plan), lanes)
+        lambda v: fourstep_ntt_lanes(v, plan), lanes, iters=4, repeats=7)
     inv, ni = time_marginal_eager(
-        lambda v: fourstep_intt_lanes(v, plan), lanes)
+        lambda v: fourstep_intt_lanes(v, plan), lanes, iters=4, repeats=7)
     rec = {"cell": "fourstep24", "dtype": "u64", "batch": 1,
            "fwd_ms_per_ntt": round(fwd * 1e3, 3),
            "inv_ms_per_ntt": round(inv * 1e3, 3),

@@ -136,15 +136,27 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         # XLA butterfly engine.  The historical k>1 compile blowup at
         # logn >= 19 was constant folding of closure-captured tables;
         # with plans as jit arguments a k=4 chain at logn 20 compiles
-        # in ~20 s on CPU.  Marginal-time through logn 23; keep k=1
-        # above that (the staged routes own those sizes — this branch
-        # only sees them for off-pool moduli).
+        # in ~20 s on CPU.  Small footprints (u64 logn <= 11: the
+        # LowRing scope, where per-NTT time is microseconds) need the
+        # scan-chain window or the slope clamps to garbage — the scan
+        # crash is specific to composed Pallas programs, the XLA engine
+        # scans fine.  Marginal-time through logn 23; keep k=1 above
+        # that (the staged routes own those sizes — this branch only
+        # sees them for off-pool moduli).
+        if batch * (1 << logn) <= (1 << 18):
+            fwd, nf = time_marginal_scan(lambda v, pl: ntt_lanes(v, pl),
+                                         lanes, extra=(plan,))
+            inv, ni = time_marginal_scan(lambda v, pl: intt_lanes(v, pl),
+                                         lanes, extra=(plan,))
+            return fwd, inv, (f"scan-chain marginal (XLA engine, noise "
+                              f"fwd {nf:.0%} inv {ni:.0%})")
         if logn <= 23:
-            fwd = time_marginal(lambda v, pl: ntt_lanes(v, pl), lanes,
-                                extra=(plan,))
-            inv = time_marginal(lambda v, pl: intt_lanes(v, pl), lanes,
-                                extra=(plan,))
-            return fwd, inv, "marginal (XLA engine, plan-as-arg chains)"
+            fwd, nf = time_marginal_spread(
+                lambda v, pl: ntt_lanes(v, pl), lanes, extra=(plan,))
+            inv, ni = time_marginal_spread(
+                lambda v, pl: intt_lanes(v, pl), lanes, extra=(plan,))
+            return fwd, inv, (f"marginal (XLA engine, plan-as-arg chains; "
+                              f"noise fwd {nf:.0%} inv {ni:.0%})")
         fwd = time_chain(lambda v, pl: ntt_lanes(v, pl), lanes, k=1,
                          extra=(plan,))
         inv = time_chain(lambda v, pl: intt_lanes(v, pl), lanes, k=1,

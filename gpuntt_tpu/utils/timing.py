@@ -60,7 +60,7 @@ def time_marginal(fn, x, k_lo=1, k_hi=4, iters=6, extra=()):
 
 
 def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
-                       extra=(), target_noise=0.25, k_hi_max=2560):
+                       extra=(), target_noise=0.25, k_hi_max=10240):
     """Marginal per-application time via lax.scan chains, plus a noise
     bound — for sub-0.1 ms kernels (the reference's batch-1 nvbench
     scope) where the k=1/k=4 slope drowns in relay dispatch jitter.
@@ -70,9 +70,11 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
     unusable at logn >= 19), so the measured window (k_hi - k_lo) * t
     can be pushed far above the ~1-5 ms dispatch variance.  When the
     spread still exceeds `target_noise` (microsecond kernels at
-    logn 12-14 need k ~ 1024, VERDICT r2), the chain depth escalates
-    4x — compile cost is flat in k, runtime stays < ~100 ms/chain —
-    until the bound is met or `k_hi_max` is reached.  Returns
+    logn 12-14 need the measured window pushed to tens of ms against
+    the relay's ~1-5 ms dispatch/fetch jitter, VERDICT r2), the chain
+    depth escalates 4x — compile cost is flat in k, runtime stays
+    < ~500 ms/chain — until the bound is met or `k_hi_max` is reached.
+    Returns
     (t_per_application, noise_frac) where noise_frac is the
     max-minus-min spread of the per-repeat slopes over their median.
     """
