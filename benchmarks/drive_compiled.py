@@ -173,6 +173,40 @@ def drive_wide62(logn=14, batch=16):
             f"2^{logn} x{batch}, q=2^62-65535, fwd+inv")
 
 
+def drive_u64_rns_17(logn=17, batch=3):
+    """RNS single-kernel engine at its in-VMEM ceiling, BOTH directions:
+    the single-modulus u64 inverse kernel exceeds scoped VMEM at 2^17
+    (chiplog/r3_merge26.out) — this probes whether the stacked RNS
+    variant shares the wall (it double-buffers its table blocks, so the
+    profile differs).  A named VMEM error here is a real finding, not a
+    relay flake."""
+    from gpuntt_tpu import NTTCPU
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+    from gpuntt_tpu.ops.pallas_mxu_rns import MXURNSPlan, pallas_mxu_rns_u64
+
+    if INTERPRET:
+        logn = 13
+    members = _rns_members(logn, np.uint64)
+    plan = MXURNSPlan.from_members(members)
+    gens = [NTTCPU(p) for p in members]
+    rng = np.random.default_rng(10)
+    mod_idx = np.arange(batch, dtype=np.int64) % len(members)
+    x = np.stack([
+        rng.integers(0, members[m].modulus.value, 1 << logn, dtype=np.uint64)
+        for m in mod_idx
+    ])
+    got = from_lanes(
+        pallas_mxu_rns_u64(to_lanes(x, True), plan, mod_idx,
+                           interpret=INTERPRET), True)
+    exp = np.stack([gens[m].ntt(x[b]) for b, m in enumerate(mod_idx)])
+    ok = np.array_equal(got, exp)
+    back = from_lanes(
+        pallas_mxu_rns_u64(to_lanes(exp, True), plan, mod_idx,
+                           inverse=True, interpret=INTERPRET), True)
+    return (ok and np.array_equal(back, x),
+            f"2^{logn} x{batch}, 3 moduli, fwd+inv (in-VMEM ceiling)")
+
+
 def drive_shardmap_4step(logn=17, batch=2):
     """Compiled shard_map + Mosaic seam (VERDICT r2 weak item 5): the
     distributed 4-step with the MXU local row engine, jitted over a
@@ -229,6 +263,7 @@ ROUTES = {
     "u32-rns-kernel": drive_u32_rns,
     "u32-mxu": drive_u32_mxu,
     "u64-rns-large": drive_u64_rns_large,
+    "u64-rns-17": drive_u64_rns_17,
     "percoeff-mxu": drive_percoeff,
     "wide62-mxu": drive_wide62,
     "shardmap-4step": drive_shardmap_4step,
