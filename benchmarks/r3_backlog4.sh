@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-3 chip backlog, part 4: batch-1 merge cells 18-23 under the
+# auto-scaled unrolled-marginal methodology (k=1/4, window >= 25 ms),
+# replacing the clamped/noisy rows from the part-3 drive.
+cd "$(dirname "$0")/.." || exit 1
+LOG=benchmarks/chiplog
+mkdir -p "$LOG"
+
+step() {
+  name=$1; shift
+  echo "=== $name start $(date +%H:%M:%S) ==="
+  timeout "$@" > "$LOG/r3_$name.out" 2>&1
+  echo "=== $name rc=$? end $(date +%H:%M:%S) ==="
+}
+
+step batch1_merge_fix 14400 python benchmarks/sweep.py --engine merge \
+  --dtypes u64 --batch 1 --sizes 18,19,20,21,22,23

@@ -171,13 +171,17 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         if tpu and path in ("mxu-large", "mxu32-large"):
             # scan-wrapping the composed col+row program crashes the
             # relay's compile helper (HTTP 500, observed at u64 logn 18
-            # batch 1) — widen the unrolled-chain spread instead and
-            # accept the larger jitter floor
+            # batch 1), and a k=8 unrolled chain (16+ pallas calls in
+            # one program) ALSO failed to compile (r3 batch-1 drive) —
+            # k=1/4 with more repeats is the deepest chain with chip
+            # evidence; the noise bound owns the jitter floor honestly
             fwd, nf = time_marginal_spread(
-                lambda v, pl: ntt_lanes(v, pl), lanes, k_hi=8, extra=(plan,))
+                lambda v, pl: ntt_lanes(v, pl), lanes, k_hi=4, repeats=6,
+                extra=(plan,))
             inv, ni = time_marginal_spread(
-                lambda v, pl: intt_lanes(v, pl), lanes, k_hi=8, extra=(plan,))
-            return fwd, inv, (f"marginal k=1/8 (composed program; no scan; "
+                lambda v, pl: intt_lanes(v, pl), lanes, k_hi=4, repeats=6,
+                extra=(plan,))
+            return fwd, inv, (f"marginal k=1/4 (composed program; no scan; "
                               f"noise fwd {nf:.0%} inv {ni:.0%})")
         fwd, nf = time_marginal_scan(lambda v, pl: ntt_lanes(v, pl),
                                      lanes, extra=(plan,))

@@ -112,13 +112,19 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
     return med, noise
 
 
-def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=6, repeats=4,
+def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=None, repeats=4,
                          extra=()):
     """time_marginal with a noise bound: the k_lo/k_hi slope is taken
     per repeat (unrolled chains — for composed multi-kernel programs
     that crash the relay compile helper under lax.scan, CLAUDE.md) and
     the median + max-minus-min/median spread returned, matching
-    time_marginal_scan's contract."""
+    time_marginal_scan's contract.
+
+    iters=None auto-scales the per-measurement averaging depth from a
+    quick probe so that each timed window covers >= ~25 ms of chained
+    work — sub-ms kernels at k=1/4 otherwise drown in the relay's
+    dispatch/fetch jitter (r3 batch-1: logn 20 fwd clamped to 1e-9 at
+    iters=6)."""
     import jax
 
     def chain(k):
@@ -132,6 +138,12 @@ def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=6, repeats=4,
     c_lo, c_hi = chain(k_lo), chain(k_hi)
     fetch_one(c_lo(x, *extra))
     fetch_one(c_hi(x, *extra))
+
+    if iters is None:
+        t0 = time.perf_counter()
+        fetch_one(c_hi(x, *extra))
+        probe = max(time.perf_counter() - t0, 1e-6)
+        iters = min(64, max(6, int(0.025 / probe) + 1))
 
     def once(cj):
         t0 = time.perf_counter()
