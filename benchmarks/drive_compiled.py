@@ -174,20 +174,20 @@ def drive_wide62(logn=14, batch=16):
 
 
 def drive_u64_rns_17(logn=17, batch=3):
-    """RNS single-kernel engine at its in-VMEM ceiling, BOTH directions:
-    the single-modulus u64 inverse kernel exceeds scoped VMEM at 2^17
-    (chiplog/r3_merge26.out) — this probes whether the stacked RNS
-    variant shares the wall (it double-buffers its table blocks, so the
-    profile differs).  A named VMEM error here is a real finding, not a
-    relay flake."""
+    """The logn-17 RNS route, BOTH directions.  The stacked in-VMEM
+    kernel's FORWARD needs 17.77M scoped VMEM at 2^17 (> the 16M v5e
+    limit — first probe of this route, r3), so dispatch now sends 17 to
+    the stacked LARGE-ring engine; this drives that corrected route
+    compiled."""
     from gpuntt_tpu import NTTCPU
     from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
-    from gpuntt_tpu.ops.pallas_mxu_rns import MXURNSPlan, pallas_mxu_rns_u64
+    from gpuntt_tpu.ops.pallas_mxu_rns import (MXULargeRNSPlan,
+                                               pallas_mxu_large_rns_u64)
 
     if INTERPRET:
         logn = 13
     members = _rns_members(logn, np.uint64)
-    plan = MXURNSPlan.from_members(members)
+    plan = MXULargeRNSPlan.from_members(members)
     gens = [NTTCPU(p) for p in members]
     rng = np.random.default_rng(10)
     mod_idx = np.arange(batch, dtype=np.int64) % len(members)
@@ -196,15 +196,16 @@ def drive_u64_rns_17(logn=17, batch=3):
         for m in mod_idx
     ])
     got = from_lanes(
-        pallas_mxu_rns_u64(to_lanes(x, True), plan, mod_idx,
-                           interpret=INTERPRET), True)
+        pallas_mxu_large_rns_u64(to_lanes(x, True), plan, mod_idx,
+                                 interpret=INTERPRET), True)
     exp = np.stack([gens[m].ntt(x[b]) for b, m in enumerate(mod_idx)])
     ok = np.array_equal(got, exp)
     back = from_lanes(
-        pallas_mxu_rns_u64(to_lanes(exp, True), plan, mod_idx,
-                           inverse=True, interpret=INTERPRET), True)
+        pallas_mxu_large_rns_u64(to_lanes(exp, True), plan, mod_idx,
+                                 inverse=True, interpret=INTERPRET), True)
     return (ok and np.array_equal(back, x),
-            f"2^{logn} x{batch}, 3 moduli, fwd+inv (in-VMEM ceiling)")
+            f"2^{logn} x{batch}, 3 moduli, fwd+inv (large engine at the "
+            f"in-VMEM kernel's broken size)")
 
 
 def drive_shardmap_4step(logn=17, batch=2):

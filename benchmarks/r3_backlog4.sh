@@ -15,3 +15,6 @@ step() {
 
 step batch1_merge_fix 14400 python benchmarks/sweep.py --engine merge \
   --dtypes u64 --batch 1 --sizes 18,19,20,21,22,23
+
+# corrected RNS logn-17 route (large engine) compiled on chip
+step rns17_fix 3600 python benchmarks/drive_compiled.py u64-rns-17

@@ -492,7 +492,10 @@ def _rns_mxu_route(x, plan, mod_idx, inverse: bool):
             or any(q >= (1 << 60) for q in plan.qs)):
         return None
     x = np.asarray(x)
-    large = plan.logn > 17
+    # in-VMEM stacked kernel ceiling is 2^16: at 2^17 its forward needs
+    # 17.77M scoped VMEM vs the 16M v5e limit (chiplog/r3_drive_compiled
+    # u64-rns-17 probe) — logn 17 rides the stacked large-ring engine
+    large = plan.logn > 16
     rplan = _mxu_rns_plan_cached(plan, large)
     if rplan is not None:
         from .pallas_mxu_rns import (pallas_mxu_large_rns_u64,

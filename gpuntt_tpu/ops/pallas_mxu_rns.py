@@ -20,7 +20,9 @@ One kernel therefore serves plain cyclic RNS (mod_idx = b % mod_count),
 GPU_NTT_Modulus_Ordered (mod_idx = order[b % len(order)]) and any other
 static schedule, replacing the host-side per-modulus batch split with a
 single jittable call.  Outputs are bit-identical to rns_ntt_lanes /
-rns_intt_lanes.  u64 only, q < 2^60, logn 12..17 (the in-VMEM range).
+rns_intt_lanes.  u64 only, q < 2^60, logn 12..16 (the stacked in-VMEM
+kernel's forward needs 17.77M scoped VMEM at 2^17, over the v5e 16M
+limit — logn 17 routes through the stacked large-ring engine).
 """
 
 from __future__ import annotations

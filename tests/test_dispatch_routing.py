@@ -37,6 +37,32 @@ def test_u64_inverse_17_routes_large(monkeypatch):
     assert _path(monkeypatch, 18, np.uint64, inverse=True) == "mxu-large"
 
 
+def test_rns_17_routes_large(monkeypatch):
+    """RNS logn 17 takes the stacked LARGE-ring engine: the stacked
+    in-VMEM kernel's forward needs 17.77M scoped VMEM at 2^17
+    (chiplog/r3_drive_compiled.out u64-rns-17 probe)."""
+    from gpuntt_tpu.ops.rns import RNSMergePlan
+
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    seen = {}
+
+    def spy(plan, large):
+        seen[plan.logn] = large
+        return None  # fall through to the grouped route
+
+    monkeypatch.setattr(dispatch, "_mxu_rns_plan_cached", spy)
+    monkeypatch.setattr(dispatch, "ntt", lambda x, mp, **kw: x)
+    monkeypatch.setattr(dispatch, "_merge_plan_cached",
+                        lambda prm: type("MP", (), {"params": prm})())
+    for logn, want_large in [(16, False), (17, True), (18, True)]:
+        p0 = NTTParameters(logn, ReductionPolynomial.X_N_minus,
+                           dtype=np.uint64)
+        plan = RNSMergePlan.from_params([p0])
+        x = np.zeros((1, p0.n), dtype=np.uint64)
+        dispatch._rns_mxu_route(x, plan, np.array([0]), inverse=False)
+        assert seen[logn] is want_large
+
+
 def test_staged_plan_rows_cap_at_2p16():
     """Staged big-N plans never delegate 2^17 rows to the in-VMEM
     kernel (its inverse does not fit scoped VMEM): merge 2^26 rows
