@@ -18,3 +18,8 @@ step batch1_merge_fix 14400 python benchmarks/sweep.py --engine merge \
 
 # corrected RNS logn-17 route (large engine) compiled on chip
 step rns17_fix 3600 python benchmarks/drive_compiled.py u64-rns-17
+
+# quiet-box re-drives: earlier runs were concurrent with the CPU test
+# suite and the eager-chain noise bounds ballooned (fourstep24 139%)
+step fourstep24c 3600 python benchmarks/bigring_perf.py fourstep24
+step merge26b    3600 python benchmarks/bigring_perf.py merge26
