@@ -23,3 +23,8 @@ step rns17_fix 3600 python benchmarks/drive_compiled.py u64-rns-17
 # suite and the eager-chain noise bounds ballooned (fourstep24 139%)
 step fourstep24c 3600 python benchmarks/bigring_perf.py fourstep24
 step merge26b    3600 python benchmarks/bigring_perf.py merge26
+
+# batch-1 4-step table (reference scope logn 12-24) — backlog3 was cut
+# off before this step ran
+step batch1_4step 10800 python benchmarks/sweep.py --engine 4step \
+  --dtypes u64 --batch 1 --sizes 12,13,14,15,16,17,18,19,20,21,22,23,24
