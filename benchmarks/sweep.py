@@ -281,9 +281,12 @@ def main():
                     else:
                         fwd, inv, tnote = bench_4step(logn, dtype, batch, rng)
                 except Exception as e:
+                    # keep enough of the error for a named per-program
+                    # cause (e.g. a scoped-VMEM overflow line) — at 200
+                    # chars the relay's detail was cut off (r3 logn 18)
                     print(json.dumps({"engine": engine, "logn": logn,
                                       "dtype": dname,
-                                      "error": f"{type(e).__name__}: {e}"[:200]}))
+                                      "error": f"{type(e).__name__}: {e}"[:2000]}))
                     continue
                 rec = {
                     "engine": engine, "logn": logn, "dtype": dname,
