@@ -16,3 +16,8 @@ step() {
 
 step batch1_merge_fix2 10800 python benchmarks/sweep.py --engine merge \
   --dtypes u64 --batch 1 --sizes 18,19,20,21
+
+# transient relay failure during the batch-1 4-step drive (response
+# body closed mid-compile) — re-drive the cell
+step batch1_4step_fix 7200 python benchmarks/sweep.py --engine 4step \
+  --dtypes u64 --batch 1 --sizes 14

@@ -90,6 +90,21 @@ class MXULargePlan:
                     tile: int | None = None) -> "MXULargePlan":
         q = p.modulus.value
         xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
+        if a_col is None and p.logn == 18:
+            # from_params feeds the COMPOSED single-program route
+            # (dispatch mxu-large, logn 18-23), where the plan tables
+            # inline into the HLO as constants.  The balanced A=512
+            # split's tables (~8 MB of int8 digit matrices) push that
+            # program's MLIR payload to 6.4 MB and the relay compile
+            # helper crashes on it — reproduced 4x incl. a k=1 bracket
+            # (benchmarks/merge18_diag.py, r3).  A=128 with delegated
+            # in-VMEM rows is the same scale as logn 19-23 (which
+            # compile), bit-exact, ~10% slower at batch 32 (67e6fa9).
+            # The A=512 split stays the default in from_spec, where the
+            # staged/recursion consumers (e.g. the 2^27 row phase) pass
+            # plans as jit ARGUMENTS and compile fine — chip PASS at
+            # merge 27 (RESULTS_r3).
+            a_col = A_COL
         return MXULargePlan.from_spec(
             q, p.logn, p.root_of_unity, p.inverse_root_of_unity, xnp,
             pow(p.n, q - 2, q), a_col=a_col, tile=tile)

@@ -113,7 +113,7 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
 
 
 def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=None, repeats=4,
-                         extra=()):
+                         extra=(), target_noise=0.25, iters_max=2048):
     """time_marginal with a noise bound: the k_lo/k_hi slope is taken
     per repeat (unrolled chains — for composed multi-kernel programs
     that crash the relay compile helper under lax.scan, CLAUDE.md) and
@@ -122,9 +122,16 @@ def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=None, repeats=4,
 
     iters=None auto-scales the per-measurement averaging depth from a
     quick probe so that each timed window covers >= ~25 ms of chained
-    work — sub-ms kernels at k=1/4 otherwise drown in the relay's
-    dispatch/fetch jitter (r3 batch-1: logn 20 fwd clamped to 1e-9 at
-    iters=6)."""
+    work, then — like time_marginal_scan — ESCALATES the depth 4x while
+    the measured spread exceeds `target_noise`.  The window heuristic
+    alone is not enough: the relay's per-call dispatch jitter
+    (~1.5-5 ms, variance comparable to its mean) enters every one of
+    the `iters` calls, so for sub-ms kernels the slope needs the
+    jitter averaged down by hundreds of calls, not just a >= 25 ms
+    window (r3 batch-1: logn 19-20 cells read 1e-9..0.026 ms at
+    1200-2e7% noise under the window heuristic; the k=1/4 chain depth
+    itself cannot grow — k=8 unrolled chains of the composed col+row
+    program crash the relay compile helper)."""
     import jax
 
     def chain(k):
@@ -139,56 +146,76 @@ def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=None, repeats=4,
     fetch_one(c_lo(x, *extra))
     fetch_one(c_hi(x, *extra))
 
-    if iters is None:
+    auto = iters is None
+    if auto:
         t0 = time.perf_counter()
         fetch_one(c_hi(x, *extra))
         probe = max(time.perf_counter() - t0, 1e-6)
         iters = min(64, max(6, int(0.025 / probe) + 1))
 
-    def once(cj):
+    def once(cj, it):
         t0 = time.perf_counter()
         o = x
-        for _ in range(iters):
+        for _ in range(it):
             o = cj(o, *extra)
         fetch_one(o)
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / it
 
-    slopes = []
-    for _ in range(repeats):
-        slopes.append(max((once(c_hi) - once(c_lo)) / (k_hi - k_lo), 1e-9))
-    slopes.sort()
-    med = slopes[len(slopes) // 2]
-    return med, (slopes[-1] - slopes[0]) / med
+    def measure(it):
+        slopes = []
+        for _ in range(repeats):
+            slopes.append(
+                max((once(c_hi, it) - once(c_lo, it)) / (k_hi - k_lo), 1e-9))
+        slopes.sort()
+        med = slopes[len(slopes) // 2]
+        return med, (slopes[-1] - slopes[0]) / med
+
+    med, noise = measure(iters)
+    while auto and noise > target_noise and iters * 4 <= iters_max:
+        iters *= 4
+        med, noise = measure(iters)
+    return med, noise
 
 
-def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3):
+def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3,
+                        target_noise=0.25, iters_max=48):
     """Marginal per-application time for an EAGER chainable fn(x)->x —
     the staged multi-program big-N routes (merge logn >= 24), whose
     phases are separate cached jitted programs and cannot ride inside
     one jitted chain.  Applications are chained eagerly (device arrays
     stay resident; JAX's async dispatch keeps the device queue full, so
     per-call dispatch overlaps execution) and the k_lo/k_hi slope
-    cancels the constant setup + sync cost.  Returns
-    (t_per_application, noise_frac) like time_marginal_scan."""
+    cancels the constant setup + sync cost.  Each application is 2+
+    relay dispatches whose jitter is comparable to its mean, so — like
+    the other marginal utilities — the averaging depth ESCALATES 4x
+    until the spread meets `target_noise` (r3: the fourstep24 cell read
+    44-139% noise at fixed iters=3).  Returns (t_per_application,
+    noise_frac) like time_marginal_scan."""
 
-    def chain_time(k):
+    def chain_time(k, it):
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(it):
             o = x
             for _ in range(k):
                 o = fn(o)
             fetch_one(o)
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / it
+
+    def measure(it):
+        slopes = []
+        for _ in range(repeats):
+            slopes.append(max((chain_time(k_hi, it) - chain_time(k_lo, it))
+                              / (k_hi - k_lo), 1e-9))
+        slopes.sort()
+        med = slopes[len(slopes) // 2]
+        return med, (slopes[-1] - slopes[0]) / med
 
     # warm the phase-jit caches (first call compiles)
     fetch_one(fn(x))
-    slopes = []
-    for _ in range(repeats):
-        slopes.append(max((chain_time(k_hi) - chain_time(k_lo))
-                          / (k_hi - k_lo), 1e-9))
-    slopes.sort()
-    med = slopes[len(slopes) // 2]
-    noise = (slopes[-1] - slopes[0]) / med
+    med, noise = measure(iters)
+    while noise > target_noise and iters * 4 <= iters_max:
+        iters *= 4
+        med, noise = measure(iters)
     return med, noise
 
 

@@ -108,6 +108,20 @@ def test_mxu_large_bigring_plan_shapes():
         assert pl.A == 512
         assert isinstance(pl.row_plan, MXULargePlan)
         assert pl.row_plan.A <= 512
+    # logn 18 splits by CONSUMER: from_params feeds the composed
+    # single-program route, where the balanced A=512 split's ~8 MB of
+    # inline digit tables crash the relay compile helper (6.4 MB MLIR,
+    # benchmarks/merge18_diag.py r3) — it gets A=128 with delegated
+    # rows; from_spec keeps A=512 for the staged/recursion consumers
+    # (2^27 row phase), whose plans ride as jit arguments.
+    p18 = NTTParameters(18, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    pl18 = MXULargePlan.from_params(p18)
+    assert pl18.A == 128 and isinstance(pl18.row_plan, MXUMergePlan)
+    q = p18.modulus.value
+    pl18s = MXULargePlan.from_spec(
+        q, 18, p18.root_of_unity, p18.inverse_root_of_unity, True,
+        pow(p18.n, q - 2, q))
+    assert pl18s.A == 512 and pl18s.row_plan is None
 
 
 @pytest.mark.parametrize(
