@@ -169,12 +169,25 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         # measured noise bound instead of printing clamped garbage
         path = _kernel_path(plan, x.shape, NTTLayout.PerPolynomial)
         if tpu and path in ("mxu-large", "mxu32-large"):
-            # scan-wrapping the composed col+row program crashes the
-            # relay's compile helper (HTTP 500, observed at u64 logn 18
-            # batch 1), and a k=8 unrolled chain (16+ pallas calls in
-            # one program) ALSO failed to compile (r3 batch-1 drive) —
-            # k=1/4 with more repeats is the deepest chain with chip
-            # evidence; the noise bound owns the jitter floor honestly
+            # The historical scan crash here (HTTP 500 at u64 logn 18
+            # batch 1, r3) was the A=512 split's ~8 MB inline digit
+            # tables; with the A=128 from_params routing the scan chain
+            # compiles on chip (merge18_diag3: 41.5 s).  Try the
+            # scan-chain marginal — the only methodology whose slope
+            # survives the relay's multi-ms dispatch jitter at this
+            # ~0.1 ms cell — and fall back to the k=1/4 unrolled spread
+            # if a future table-size change re-trips the compile helper.
+            try:
+                fwd, nf = time_marginal_scan(
+                    lambda v, pl: ntt_lanes(v, pl), lanes, extra=(plan,))
+                inv, ni = time_marginal_scan(
+                    lambda v, pl: intt_lanes(v, pl), lanes, extra=(plan,))
+                return fwd, inv, (f"scan-chain marginal (composed program, "
+                                  f"escalating depth, noise fwd {nf:.0%} "
+                                  f"inv {ni:.0%})")
+            except Exception as e:  # relay compile rejection
+                print(f"  [scan chain failed ({type(e).__name__}); "
+                      f"falling back to unrolled k=1/4]", flush=True)
             fwd, nf = time_marginal_spread(
                 lambda v, pl: ntt_lanes(v, pl), lanes, k_hi=4, repeats=6,
                 extra=(plan,))
