@@ -92,14 +92,21 @@ def _kernel_path(plan: MergePlan, x_shape, layout,
     n = x_shape[-1]
     if n < 256 or n % 128:
         return None
-    if plan.logn <= 18:
+    if plan.logn <= 16:
         return "vpu"  # whole block VMEM-resident
+    # The VPU whole-block kernel's scoped stack overflows past 2^16
+    # (22.11M at 2^17 / 46.37M at 2^18 vs the 16M v5e limit, named
+    # per-program errors in benchmarks/u32vpu_diag.py, r3 — interpret
+    # mode never sees it).  logn 17 fits VMEM as ONE MXU digit-matmul
+    # block; 18-23 ride the composed col+row large engine.
+    if plan.logn == 17 and plan.q < (1 << 30):
+        return "mxu32"
     if plan.logn <= 23 and plan.q < (1 << 30):
         return "mxu32-large"
     return None
 
 
-_MXU_PATHS = ("mxu", "mxu-large", "mxu32-large")
+_MXU_PATHS = ("mxu", "mxu-large", "mxu32", "mxu32-large")
 
 
 def _explicit_path(plan: MergePlan, inverse: bool = False) -> str:
@@ -110,7 +117,9 @@ def _explicit_path(plan: MergePlan, inverse: bool = False) -> str:
     there)."""
     if plan.is64:
         return "mxu" if plan.logn <= (16 if inverse else 17) else "mxu-large"
-    return "vpu" if plan.logn <= 18 else "mxu32-large"
+    if plan.logn <= 16:
+        return "vpu"
+    return "mxu32" if plan.logn == 17 else "mxu32-large"
 
 
 def _resolve_mxu(path, plan: MergePlan):
@@ -125,6 +134,9 @@ def _resolve_mxu(path, plan: MergePlan):
     elif path == "mxu-large":
         from .pallas_mxu_large import mxu_large_plan as mk
         from .pallas_mxu_large import pallas_mxu_large_u64 as fn
+    elif path == "mxu32":
+        from .pallas_mxu32 import mxu32_plan as mk
+        from .pallas_mxu32 import pallas_mxu_u32 as fn
     else:
         from .pallas_mxu32 import mxu32_large_plan as mk
         from .pallas_mxu32 import pallas_mxu32_large as fn

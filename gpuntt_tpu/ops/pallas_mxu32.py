@@ -337,6 +337,20 @@ def mxu32_large_plan(params: NTTParameters) -> "MXU32LargePlan":
     return plan
 
 
+def mxu32_plan(params: NTTParameters) -> "MXU32Plan":
+    """Cached device-resident in-VMEM u32 plan — the top-level engine
+    for logn 17, where the whole-block VPU kernel's scoped stack
+    overflows (22.11M vs the 16M v5e limit, benchmarks/u32vpu_diag.py)
+    but one ring still fits VMEM as a single MXU digit-matmul block."""
+    from .pallas_mxu import plan_to_device
+
+    plan = getattr(params, "_mxu32_plan_cache", None)
+    if plan is None:
+        plan = plan_to_device(MXU32Plan.from_params(params))
+        params._mxu32_plan_cache = plan
+    return plan
+
+
 def _w_tiled_mul32(y, wt, ws, q):
     """y (< 2^32) times the factored W, two lazy 32-bit Shoup products."""
     y = bo.shoup_mul32_lazy(y, wt[0][...], wt[1][...], q)

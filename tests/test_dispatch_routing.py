@@ -78,7 +78,12 @@ def test_staged_plan_rows_cap_at_2p16():
 
 def test_u32_routes(monkeypatch):
     assert _path(monkeypatch, 12, np.uint32) == "vpu"
-    assert _path(monkeypatch, 18, np.uint32) == "vpu"
+    assert _path(monkeypatch, 16, np.uint32) == "vpu"
+    # the whole-block VPU kernel overflows scoped VMEM past 2^16 on
+    # chip (22.11M at 2^17 vs the 16M limit, benchmarks/u32vpu_diag.py
+    # r3): 17 fits as one in-VMEM MXU block, 18 joins the large engine
+    assert _path(monkeypatch, 17, np.uint32) == "mxu32"
+    assert _path(monkeypatch, 18, np.uint32) == "mxu32-large"
     assert _path(monkeypatch, 19, np.uint32) == "mxu32-large"
     assert _path(monkeypatch, 23, np.uint32) == "mxu32-large"
     assert _path(monkeypatch, 24, np.uint32) is None

@@ -124,3 +124,24 @@ def test_mxu_u32_parity(poly, rng):
     back = np.asarray(pallas_mxu_u32(exp.astype(np.uint32), plan,
                                      inverse=True, interpret=True))
     np.testing.assert_array_equal(back, x)
+
+
+def test_mxu_u32_logn17_top_level(rng):
+    """logn 17 is the u32 in-VMEM MXU engine's top-level size (r3): the
+    whole-block VPU kernel overflows scoped VMEM there (22.11M vs 16M,
+    benchmarks/u32vpu_diag.py), so dispatch routes u32 2^17 through ONE
+    MXU digit-matmul block (A=256 x B=512).  Bit-exact both directions."""
+    from gpuntt_tpu.ops.pallas_mxu32 import MXU32Plan, pallas_mxu_u32
+
+    p = NTTParameters(17, ReductionPolynomial.X_N_plus, dtype=np.uint32)
+    plan = MXU32Plan.from_params(p)
+    assert plan.A == 256 and plan.B == 512
+    gen = NTTCPU(p)
+    x = rng.integers(0, p.modulus.value, size=(1, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pallas_mxu_u32(x, plan, interpret=True))
+    exp = gen.ntt(x[0])[None]
+    np.testing.assert_array_equal(got, exp)
+    back = np.asarray(pallas_mxu_u32(exp.astype(np.uint32), plan,
+                                     inverse=True, interpret=True))
+    np.testing.assert_array_equal(back, x)
