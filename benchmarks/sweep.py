@@ -88,7 +88,10 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
                 lambda v, pl: intt_lanes(v, pl, layout=lo), lanes, k=1,
                 extra=(plan,))
             return fwd, inv, "k=1 chain (PerCoefficient, XLA engine)"
-        if batch * (1 << logn) <= (1 << 18):
+        # small-footprint gate is BYTE-based (2 MB): u32 2^19 is the
+        # same ring bytes as u64 2^18 and needs the same deep-chain
+        # treatment (r3: its k=1/4 cell stuck at 42-54% noise)
+        if batch * (1 << logn) * np.dtype(dtype).itemsize <= (1 << 21):
             fwd, nf = time_marginal_scan(
                 lambda v, pl: ntt_lanes(v, pl, layout=lo), lanes,
                 extra=(plan,))
@@ -143,7 +146,10 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         # scans fine.  Marginal-time through logn 23; keep k=1 above
         # that (the staged routes own those sizes — this branch only
         # sees them for off-pool moduli).
-        if batch * (1 << logn) <= (1 << 18):
+        # small-footprint gate is BYTE-based (2 MB): u32 2^19 is the
+        # same ring bytes as u64 2^18 and needs the same deep-chain
+        # treatment (r3: its k=1/4 cell stuck at 42-54% noise)
+        if batch * (1 << logn) * np.dtype(dtype).itemsize <= (1 << 21):
             fwd, nf = time_marginal_scan(lambda v, pl: ntt_lanes(v, pl),
                                          lanes, extra=(plan,))
             inv, ni = time_marginal_scan(lambda v, pl: intt_lanes(v, pl),
@@ -162,7 +168,10 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         inv = time_chain(lambda v, pl: intt_lanes(v, pl), lanes, k=1,
                          extra=(plan,))
         return fwd, inv, "k=1 chain (XLA engine; incl dispatch)"
-    if batch * (1 << logn) <= (1 << 18):
+    # small-footprint gate is BYTE-based (2 MB): u32 2^19 is the
+    # same ring bytes as u64 2^18 and needs the same deep-chain
+    # treatment (r3: its k=1/4 cell stuck at 42-54% noise)
+    if batch * (1 << logn) * np.dtype(dtype).itemsize <= (1 << 21):
         # small-footprint cells (the reference's batch-1 nvbench scope,
         # bench_merge_ntt.cu:71-75): sub-0.1 ms kernels drown in relay
         # jitter at k=1/k=4 — use deep scan chains and report the
@@ -237,7 +246,10 @@ def bench_4step(logn: int, dtype, batch: int, rng):
             lambda v: fourstep_intt_lanes(v, plan), lanes)
         return fwd, inv, (f"eager-chain marginal (staged device-resident, "
                           f"noise fwd {nf:.0%} inv {ni:.0%})")
-    if batch * (1 << logn) <= (1 << 18):
+    # small-footprint gate is BYTE-based (2 MB): u32 2^19 is the
+    # same ring bytes as u64 2^18 and needs the same deep-chain
+    # treatment (r3: its k=1/4 cell stuck at 42-54% noise)
+    if batch * (1 << logn) * np.dtype(dtype).itemsize <= (1 << 21):
         fwd, nf = time_marginal_scan(
             lambda v, pl: fourstep_ntt_lanes(v, pl), lanes, extra=(plan,))
         inv, ni = time_marginal_scan(

@@ -23,6 +23,21 @@ def fetch_one(out):
     return np.asarray(leaf.ravel()[0])
 
 
+def _slope_stats(slopes):
+    """Median + spread of per-repeat slopes.  A non-positive median
+    means the signal has not emerged from the dispatch jitter at this
+    averaging depth (k_hi chains timed FASTER than k_lo): report
+    non-converged (9900% noise) so escalating callers deepen the
+    measurement instead of returning a clean-looking clamped garbage
+    cell (r3: u32 logn-19 inverse read 1e-9 ms at "0%" noise from
+    all-clamped slopes)."""
+    slopes = sorted(slopes)
+    med = slopes[len(slopes) // 2]
+    if med <= 0:
+        return 1e-9, 99.0
+    return med, (slopes[-1] - slopes[0]) / med
+
+
 def time_chain(fn, x, k, iters=6, repeats=3, extra=()):
     """Best-of-repeats wall time of one jitted call applying fn k times.
 
@@ -99,11 +114,8 @@ def time_marginal_scan(fn, x, k_lo=32, k_hi=160, iters=4, repeats=4,
         fetch_one(c_hi(x, *extra))
         slopes = []
         for _ in range(repeats):
-            slopes.append(
-                max((once(c_hi) - once(c_lo)) / (k_hi - k_lo), 1e-9))
-        slopes.sort()
-        med = slopes[len(slopes) // 2]
-        return med, (slopes[-1] - slopes[0]) / med
+            slopes.append((once(c_hi) - once(c_lo)) / (k_hi - k_lo))
+        return _slope_stats(slopes)
 
     med, noise = measure(k_lo, k_hi)
     while noise > target_noise and k_hi * 4 <= k_hi_max:
@@ -164,11 +176,8 @@ def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=None, repeats=4,
     def measure(it):
         slopes = []
         for _ in range(repeats):
-            slopes.append(
-                max((once(c_hi, it) - once(c_lo, it)) / (k_hi - k_lo), 1e-9))
-        slopes.sort()
-        med = slopes[len(slopes) // 2]
-        return med, (slopes[-1] - slopes[0]) / med
+            slopes.append((once(c_hi, it) - once(c_lo, it)) / (k_hi - k_lo))
+        return _slope_stats(slopes)
 
     med, noise = measure(iters)
     while auto and noise > target_noise and iters * 4 <= iters_max:
@@ -204,11 +213,9 @@ def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3,
     def measure(it):
         slopes = []
         for _ in range(repeats):
-            slopes.append(max((chain_time(k_hi, it) - chain_time(k_lo, it))
-                              / (k_hi - k_lo), 1e-9))
-        slopes.sort()
-        med = slopes[len(slopes) // 2]
-        return med, (slopes[-1] - slopes[0]) / med
+            slopes.append((chain_time(k_hi, it) - chain_time(k_lo, it))
+                          / (k_hi - k_lo))
+        return _slope_stats(slopes)
 
     # warm the phase-jit caches (first call compiles)
     fetch_one(fn(x))

@@ -76,3 +76,12 @@ def test_time_marginal_eager_escalation_terminates(x):
     med, noise = time_marginal_eager(stepj, x, iters=1, repeats=2,
                                      target_noise=0.0, iters_max=4)
     assert med > 0 and noise >= 0
+
+
+def test_slope_stats_nonpositive_median_reports_unconverged():
+    from gpuntt_tpu.utils.timing import _slope_stats
+
+    med, noise = _slope_stats([-1e-3, -1e-4, 2e-3])
+    assert med == 1e-9 and noise == 99.0
+    med, noise = _slope_stats([1e-3, 2e-3, 3e-3])
+    assert med == 2e-3 and noise == 1.0
