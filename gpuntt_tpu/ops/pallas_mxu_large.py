@@ -75,6 +75,14 @@ class MXULargePlan:
     row_fwd_corr: Any = None
     row_inv: Any = None     # Ginv_row^T digits with B^-1 folded
     row_inv_corr: Any = None
+    # forward-only delegated rows at logB == max_row_logn + 1 (= 2^17 in
+    # production): the in-VMEM FORWARD kernel fits at 2^17 (chip PASS,
+    # batch-1 merge 17 fwd cell) while the inverse needs 16.66M scoped
+    # VMEM > the 16M v5e limit — so merge 2^26 forward runs 2 programs
+    # (col + in-VMEM rows) and only the inverse pays the recursion's
+    # third kernel + second W pass.  None when logB is fully in-VMEM
+    # or beyond the forward ceiling.
+    row_plan_fwd: Any = None
     r40: int = 0
     r40s: int = 0
     cadd: int = 0
@@ -230,6 +238,14 @@ class MXULargePlan:
                 q, logB, row_root, row_iroot, xnp=False,
                 n_inv=pow(B, q - 2, q), max_row_logn=max_row_logn,
                 **(row_kwargs or {})))
+            if logB == max_row_logn + 1 and q < (1 << 60):
+                # the in-VMEM FORWARD kernel still fits one step past
+                # the inverse ceiling (see row_plan_fwd doc); q < 2^60
+                # keeps the chip-proven 5-diagonal combine — wide moduli
+                # stay on the recursive route both directions
+                kw["row_plan_fwd"] = MXUMergePlan.from_spec(
+                    q, logB, row_root, row_iroot, xnp=False,
+                    n_inv=pow(B, q - 2, q))
 
         rc = reduction_consts(q, NDIAG)
 
@@ -255,7 +271,7 @@ jax.tree_util.register_dataclass(
     data_fields=["col_fwd", "col_fwd_corr", "wt_fwd", "ws_fwd",
                  "col_inv", "col_inv_corr", "wt_inv", "ws_inv",
                  "row_plan", "row_fwd", "row_fwd_corr",
-                 "row_inv", "row_inv_corr"],
+                 "row_inv", "row_inv_corr", "row_plan_fwd"],
     meta_fields=["logn", "q", "A", "B", "tile", "r40", "r40s", "cadd",
                  "canon_chain", "tile_inv"],
 )
@@ -397,7 +413,10 @@ def _row_call(x: U64, plan: MXULargePlan, inverse: bool,
         y = _row_matmul_call(xv, plan, inverse=inverse, interpret=interpret)
         return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
     rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
-    if isinstance(plan.row_plan, MXULargePlan):
+    if not inverse and plan.row_plan_fwd is not None:
+        y = pallas_mxu_u64(rows, plan.row_plan_fwd, inverse=False,
+                           interpret=interpret)
+    elif isinstance(plan.row_plan, MXULargePlan):
         y = pallas_mxu_large_u64(rows, plan.row_plan, inverse=inverse,
                                  interpret=interpret)
     else:

@@ -83,6 +83,53 @@ def test_staged_merge_recursive_rows(rng):
     np.testing.assert_array_equal(back, x)
 
 
+def test_staged_merge_fwd_split_rows(rng):
+    """logB == max_row_logn + 1 (production merge 2^26): the FORWARD
+    rows delegate to the in-VMEM kernel (2 programs) while the inverse
+    keeps the recursive 3-program route — both bit-exact, reduced
+    split."""
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+    from gpuntt_tpu.ops.pallas_mxu_large import (MXULargePlan,
+                                                 staged_mxu_large_u64)
+
+    p = NTTParameters(14, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    q = p.modulus.value
+    assert q < 1 << 60  # fwd split is gated on the non-wide combine
+    plan = MXULargePlan.from_spec(
+        q, p.logn, p.root_of_unity, p.inverse_root_of_unity, True,
+        pow(p.n, q - 2, q), a_col=8, max_row_logn=10,
+        row_kwargs=dict(a_col=8))
+    assert isinstance(plan.row_plan_fwd, MXUMergePlan)
+    assert isinstance(plan.row_plan, MXULargePlan)
+    plan = plan_to_device(plan)
+    gen = NTTCPU(p)
+    x = rng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    got = from_lanes(staged_mxu_large_u64(to_lanes(x, True), plan,
+                                          interpret=True), True)
+    np.testing.assert_array_equal(got, exp)
+    back = from_lanes(staged_mxu_large_u64(to_lanes(exp, True), plan,
+                                           inverse=True, interpret=True),
+                      True)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_merge26_plan_has_fwd_split():
+    """The production 2^26 plan (A=512, logB=17) carries the delegated
+    forward row plan; 2^27-28 (logB > 17) do not."""
+    from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
+    from gpuntt_tpu.ops.pallas_mxu_large import MXULargePlan
+
+    p26 = NTTParameters(26, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    plan = MXULargePlan.from_params(p26)
+    assert plan.A == 512 and plan.B == 1 << 17
+    assert isinstance(plan.row_plan_fwd, MXUMergePlan)
+    assert isinstance(plan.row_plan, MXULargePlan)
+    p27 = NTTParameters(27, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    plan27 = MXULargePlan.from_params(p27)
+    assert plan27.row_plan_fwd is None
+
+
 @pytest.mark.parametrize("delegate_rows", [False, True])
 def test_staged_fourstep_parity(delegate_rows, rng, monkeypatch):
     """Staged u64 4-step executor vs the XLA 4-step engine, both row
