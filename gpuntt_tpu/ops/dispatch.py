@@ -108,6 +108,37 @@ def _kernel_path(plan: MergePlan, x_shape, layout,
 
 _MXU_PATHS = ("mxu", "mxu-large", "mxu32", "mxu32-large")
 
+_warned_staged_cliff = False
+
+
+def _warn_staged_cliff(plan: "MergePlan"):
+    """One-time warning for the staged-route jit cliff (VERDICT r3).
+
+    logn >= 24 transforms composed inside a USER jit cannot reach the
+    staged multi-program MXU route (it is inherently multi-dispatch) and
+    silently run the XLA butterfly engine — correct but ~1000x slower on
+    TPU (RESULTS_r2: 10.6 s/NTT vs RESULTS_r3: 10.1 ms at 2^24).  The
+    numpy entry points (ntt/intt/polymul) and staged_ntt_lanes take the
+    fast route; warn anyone tracing these sizes through
+    ntt_lanes/intt_lanes."""
+    global _warned_staged_cliff
+    if _warned_staged_cliff:
+        return
+    import jax as _jax
+
+    if (_jax.default_backend() == "tpu" and plan.params is not None
+            and 24 <= plan.logn <= 28):
+        import warnings
+
+        warnings.warn(
+            f"logn={plan.logn} inside jit falls back to the XLA butterfly "
+            "engine (~1000x slower than the staged MXU route on TPU). "
+            "Call the numpy entry points (gpuntt_tpu.ntt/intt/polymul) or "
+            "staged_ntt_lanes/staged_polymul_lanes from eager code for "
+            "device-resident multi-program execution at these ring sizes.",
+            stacklevel=3)
+        _warned_staged_cliff = True
+
 
 def _explicit_path(plan: MergePlan, inverse: bool = False) -> str:
     """Route for an explicit use_pallas=True request: the best Pallas
@@ -181,7 +212,13 @@ def ntt_lanes(
     selection, so it reaches the same Pallas/MXU engines as
     PerPolynomial (the reference needs a dedicated transpose-fused
     kernel family for this, ntt.cu:1554-2075; on TPU the relayout is
-    one XLA transpose — measured at parity in benchmarks/sweep.py)."""
+    one XLA transpose — measured at parity in benchmarks/sweep.py).
+
+    JIT CLIFF at logn >= 24: the staged big-N MXU route is
+    multi-dispatch and unreachable from inside a trace, so this
+    function falls back to the XLA butterfly engine there (~1000x
+    slower on TPU; a one-time UserWarning fires).  Prefer ntt()/
+    staged_ntt_lanes() from eager code at those sizes."""
     if signed_input:
         if plan.is64:
             x = bo.reduce_signed64(x, bo.u64_const(plan.q))
@@ -194,6 +231,8 @@ def ntt_lanes(
     elif use_pallas is True:
         use_pallas = _explicit_path(plan)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
+    if not use_pallas:
+        _warn_staged_cliff(plan)
     if use_pallas in _MXU_PATHS:
         y = _mxu_fn(x, _mp)
     elif use_pallas:
@@ -221,7 +260,9 @@ def intt_lanes(
     """Inverse NTT on the lane representation (jittable building block).
 
     Layout semantics as ntt_lanes: PerCoefficient relayouts before
-    kernel-path selection."""
+    kernel-path selection.  Same logn >= 24 jit cliff as ntt_lanes —
+    prefer intt()/staged_ntt_lanes(inverse=True) from eager code at the
+    staged sizes."""
     x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
@@ -230,6 +271,8 @@ def intt_lanes(
     elif use_pallas is True:
         use_pallas = _explicit_path(plan, inverse=True)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
+    if not use_pallas:
+        _warn_staged_cliff(plan)
     if use_pallas in _MXU_PATHS:
         y = _mxu_fn(x, _mp, inverse=True)
     elif use_pallas:
@@ -377,7 +420,10 @@ def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
     """GPU_NTT equivalent over numpy arrays (device round-trip included).
 
     Accepts uint32/uint64 (or int32/int64 with signed_input semantics,
-    matching the Data32s/Data64s instantiations).
+    matching the Data32s/Data64s instantiations).  At logn 24-28 on TPU
+    this entry runs the staged multi-program MXU route (ms-scale) —
+    composing the transform inside your own jit instead falls back to
+    the XLA engine, ~1000x slower (see ntt_lanes docstring).
     """
     layout = kw.pop("layout", cfg.ntt_layout if cfg else NTTLayout.PerPolynomial)
     signed_input = kw.pop("signed_input", False)

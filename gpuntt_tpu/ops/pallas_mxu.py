@@ -413,6 +413,21 @@ def plan_to_device(plan):
         )
 
 
+def fwd_only(plan: MXUMergePlan) -> MXUMergePlan:
+    """Strip the inverse tables from a plan used forward-only.
+
+    The large-ring recursion's delegated forward row plan
+    (MXULargePlan.row_plan_fwd) never runs inverse, but from_spec builds
+    and ships the full inverse tables (inv_left/inv_right/w_inv — several
+    MB at B = 2^17) as pytree leaves into every jit call (ADVICE r3).
+    None leaves flatten to nothing, so the stripped plan uploads and
+    threads only what the forward kernel reads."""
+    import dataclasses
+
+    return dataclasses.replace(plan, inv_right=None, inv_right_corr=None,
+                               inv_left=None, inv_left_corr=None, w_inv=None)
+
+
 def mxu_plan(params: NTTParameters) -> MXUMergePlan:
     """Cached device-resident MXUMergePlan for a parameter object."""
     plan = getattr(params, "_mxu_plan_cache", None)

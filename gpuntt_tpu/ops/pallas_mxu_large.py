@@ -242,10 +242,14 @@ class MXULargePlan:
                 # the in-VMEM FORWARD kernel still fits one step past
                 # the inverse ceiling (see row_plan_fwd doc); q < 2^60
                 # keeps the chip-proven 5-diagonal combine — wide moduli
-                # stay on the recursive route both directions
-                kw["row_plan_fwd"] = MXUMergePlan.from_spec(
+                # stay on the recursive route both directions.  The plan
+                # is used forward-only, so its inverse tables (several
+                # MB at B = 2^17) are stripped before upload (ADVICE r3)
+                from .pallas_mxu import fwd_only
+
+                kw["row_plan_fwd"] = fwd_only(MXUMergePlan.from_spec(
                     q, logB, row_root, row_iroot, xnp=False,
-                    n_inv=pow(B, q - 2, q))
+                    n_inv=pow(B, q - 2, q)))
 
         rc = reduction_consts(q, NDIAG)
 

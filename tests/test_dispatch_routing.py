@@ -214,3 +214,36 @@ def test_fourstep_logn24_eager_gate(monkeypatch):
 
     probe23(x)
     assert traced_result[0] is not None  # <= 23 stays routed under jit
+
+
+def test_staged_cliff_warning(monkeypatch):
+    """ntt_lanes warns ONCE when a logn >= 24 plan falls back to the XLA
+    engine on a TPU backend (the staged-route jit cliff, VERDICT r3) and
+    stays silent on other backends / smaller sizes."""
+    import types
+    import warnings
+
+    from gpuntt_tpu.ops import dispatch
+
+    plan24 = types.SimpleNamespace(params=object(), q=97, logn=24)
+    plan23 = types.SimpleNamespace(params=object(), q=97, logn=23)
+
+    # CPU backend: silent regardless of size
+    monkeypatch.setattr(dispatch, "_warned_staged_cliff", False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dispatch._warn_staged_cliff(plan24)
+
+    # pretend-TPU backend: warn once at 24, never at 23
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dispatch._warn_staged_cliff(plan23)
+        assert not rec
+        dispatch._warn_staged_cliff(plan24)
+        assert len(rec) == 1 and "staged" in str(rec[0].message).lower()
+        dispatch._warn_staged_cliff(plan24)  # one-time
+        assert len(rec) == 1
+    monkeypatch.setattr(dispatch, "_warned_staged_cliff", False)

@@ -114,20 +114,40 @@ def test_staged_merge_fwd_split_rows(rng):
     np.testing.assert_array_equal(back, x)
 
 
-def test_merge26_plan_has_fwd_split():
-    """The production 2^26 plan (A=512, logB=17) carries the delegated
-    forward row plan; 2^27-28 (logB > 17) do not."""
+def test_fwd_split_gate_structure():
+    """The delegated forward row plan exists exactly at
+    logB == max_row_logn + 1 and is stripped of its inverse tables
+    (fwd_only, ADVICE r3).  Checked at a small spec with the gate
+    arithmetic scaled down (ADVICE r3: building the full 2^26/2^27
+    plans host-side costs minutes for two attribute asserts; the
+    production logB == 17 gate has chip evidence in RESULTS_r3) plus a
+    direct check of the production gate arithmetic."""
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
     from gpuntt_tpu.ops.pallas_mxu_large import MXULargePlan
 
-    p26 = NTTParameters(26, ReductionPolynomial.X_N_minus, dtype=np.uint64)
-    plan = MXULargePlan.from_params(p26)
-    assert plan.A == 512 and plan.B == 1 << 17
+    p = NTTParameters(14, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    q = p.modulus.value
+    # logB = 14 - 3 = 11 == max_row_logn + 1 -> forward split present
+    plan = MXULargePlan.from_spec(
+        q, p.logn, p.root_of_unity, p.inverse_root_of_unity, False,
+        pow(p.n, q - 2, q), a_col=8, max_row_logn=10,
+        row_kwargs=dict(a_col=8))
     assert isinstance(plan.row_plan_fwd, MXUMergePlan)
     assert isinstance(plan.row_plan, MXULargePlan)
-    p27 = NTTParameters(27, ReductionPolynomial.X_N_minus, dtype=np.uint64)
-    plan27 = MXULargePlan.from_params(p27)
-    assert plan27.row_plan_fwd is None
+    # forward-only plan ships no inverse tables (ADVICE r3)
+    assert plan.row_plan_fwd.inv_left is None
+    assert plan.row_plan_fwd.w_inv is None
+    # logB = 15 - 3 = 12 > max_row_logn + 1 -> recursion only, no split
+    p15 = NTTParameters(15, ReductionPolynomial.X_N_minus, dtype=np.uint64)
+    plan15 = MXULargePlan.from_spec(
+        q, 15, p15.root_of_unity, p15.inverse_root_of_unity, False,
+        pow(p15.n, q - 2, q), a_col=8, max_row_logn=10,
+        row_kwargs=dict(a_col=8))
+    assert plan15.row_plan_fwd is None
+    # production gate arithmetic: logn 26 with the A-rule (A=512 above
+    # 24) gives logB = 26 - 9 = 17 = default max_row_logn + 1 (split
+    # fires); 27 gives logB 18 (recursion only)
+    assert 26 - 9 == 16 + 1 and 27 - 9 > 16 + 1
 
 
 @pytest.mark.parametrize("delegate_rows", [False, True])
