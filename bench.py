@@ -85,10 +85,14 @@ def main():
     # the median of N independent marginals plus the (max-min)/median
     # spread so the headline carries its own noise bound.
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
-    dts = sorted(time_marginal(lambda v: ntt_lanes(v, plan), lanes)
-                 for _ in range(repeats))
-    dt = dts[len(dts) // 2]
-    noise_frac = (dts[-1] - dts[0]) / dt
+
+    def cell(fn, v, reps=repeats):
+        """Median-of-reps marginal + (max-min)/median noise bound."""
+        ds = sorted(time_marginal(fn, v) for _ in range(reps))
+        med = ds[len(ds) // 2]
+        return med, (ds[-1] - ds[0]) / med
+
+    dt, noise_frac = cell(lambda v: ntt_lanes(v, plan), lanes)
     ntts_per_sec = batch / dt
 
     # --- measured modmul roofline (compute-bound probe) ---
@@ -139,17 +143,57 @@ def main():
     # The advertised HE evaluation step (models/polymul.py) is
     # NTT x2 + pointwise + INTT as ONE jitted computation — the number a
     # library user actually pays per ciphertext multiply.
-    from gpuntt_tpu.ops.dispatch import polymul_lanes
+    from gpuntt_tpu.ops.dispatch import intt_lanes, polymul_lanes
 
     y = rng.integers(0, params.modulus.value, size=(batch, params.n),
                      dtype=np.uint64)
     ylanes = to_lanes(y, True)
-    pm_dts = sorted(
-        time_marginal(lambda ab: (polymul_lanes(ab[0], ab[1], plan), ab[1]),
-                      (lanes, ylanes))
+    pm_dt, pm_noise = cell(
+        lambda ab: (polymul_lanes(ab[0], ab[1], plan), ab[1]),
+        (lanes, ylanes))
+
+    # --- batched INVERSE headline (VERDICT r3 item 7) ---
+    # The reference benches inverse latency first-class
+    # (bench_merge_ntt.cu:137-141), and the INTT engines carry the extra
+    # scoped-VMEM pressure (tile_inv, the logn-17 direction split) —
+    # they deserve their own throughput cell, not just the fused
+    # polymul coverage.
+    intt_dt, intt_noise = cell(lambda v: intt_lanes(v, plan), lanes)
+
+    # --- u32 batched cells (VERDICT r3 item 2) ---
+    # The reference's Data32 build is co-equal with Data64 (typedef
+    # switch, bench_merge_ntt.cu:19-22; u32 pool to logn 25,
+    # nttparameters.cu:84-98).  Headline shape on the VPU whole-block
+    # route plus one large-ring batched cell on the composed MXU32
+    # engine, each with its own measured u32-Shoup roofline fraction.
+    p32 = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint32)
+    plan32 = MergePlan.from_params(p32)
+    x32 = rng.integers(0, p32.modulus.value, size=(batch, p32.n),
+                       dtype=np.uint64).astype(np.uint32)
+    lanes32 = to_lanes(x32, False)
+    u32_dt, u32_noise = cell(lambda v: ntt_lanes(v, plan32), lanes32)
+    u32_ntts_per_sec = batch / u32_dt
+
+    logn32L, batch32L = 20, 16
+    p32L = NTTParameters(logn32L, ReductionPolynomial.X_N_plus,
+                         dtype=np.uint32)
+    plan32L = MergePlan.from_params(p32L)
+    x32L = rng.integers(0, p32L.modulus.value, size=(batch32L, p32L.n),
+                        dtype=np.uint64).astype(np.uint32)
+    lanes32L = to_lanes(x32L, False)
+    u32L_dt, u32L_noise = cell(lambda v: ntt_lanes(v, plan32L), lanes32L,
+                               reps=max(3, repeats - 2))
+
+    # u32 roofline: the 32-bit Shoup modmul probe is the VPU
+    # speed-of-light for 32-bit butterfly transforms (pinned best-of-N,
+    # like the u64 probe)
+    modmuls32_per_sec = max(
+        measure_vpu_modmul_peak(p32.modulus.value, is64=False)
         for _ in range(repeats))
-    pm_dt = pm_dts[len(pm_dts) // 2]
-    pm_noise = (pm_dts[-1] - pm_dts[0]) / pm_dt
+    u32_roofline_frac = (u32_ntts_per_sec * butterflies_per_ntt
+                         / modmuls32_per_sec)
+    u32L_roofline_frac = ((batch32L / u32L_dt)
+                          * ((p32L.n // 2) * logn32L) / modmuls32_per_sec)
 
     dev = jax.devices()[0]
     result = {
@@ -168,6 +212,19 @@ def main():
             "polymul_ms_per_batch": round(pm_dt * 1e3, 3),
             "polymul_noise_frac": round(pm_noise, 4),
             "polymuls_per_sec": round(batch / pm_dt, 2),
+            "intt_ms_per_batch": round(intt_dt * 1e3, 3),
+            "intt_noise_frac": round(intt_noise, 4),
+            "intts_per_sec": round(batch / intt_dt, 2),
+            "u32_ntts_per_sec": round(u32_ntts_per_sec, 2),
+            "u32_ms_per_batch": round(u32_dt * 1e3, 3),
+            "u32_noise_frac": round(u32_noise, 4),
+            "u32_roofline_frac": round(u32_roofline_frac, 4),
+            "u32_peak_vpu_modmuls_per_sec": f"{modmuls32_per_sec:.3e}",
+            "u32_large_cell": f"2^{logn32L} batch {batch32L}",
+            "u32_large_ms_per_batch": round(u32L_dt * 1e3, 3),
+            "u32_large_noise_frac": round(u32L_noise, 4),
+            "u32_large_ntts_per_sec": round(batch32L / u32L_dt, 2),
+            "u32_large_roofline_frac": round(u32L_roofline_frac, 4),
             "timing": ("median of N marginal in-jit applications "
                        "(k=1 vs k=4 chains), noise = (max-min)/median; "
                        "roofline probe pinned best-of-N"),

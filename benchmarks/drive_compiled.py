@@ -295,9 +295,26 @@ def main():
             ok, detail = ROUTES[name]()
         except Exception as e:  # noqa: BLE001 — report and continue
             ok, detail = False, f"EXCEPTION {type(e).__name__}: {e}"
+        cold = time.time() - t0
+        # Per-route compile accounting (VERDICT r3 item 6): a second run
+        # of a passing route hits the jit cache (the RNS plans are
+        # registered pytrees entering module-level jits as arguments, so
+        # a REBUILT plan with identical meta/shapes keys the same cache
+        # entry) — cold - warm ~= trace + compile time, warm = plan
+        # build + golden + steady-state execution.
+        warm = None
+        if ok and not INTERPRET:
+            t1 = time.time()
+            try:
+                ok2, _ = ROUTES[name]()
+                warm = time.time() - t1
+                ok = ok and ok2
+            except Exception as e:  # noqa: BLE001
+                ok, detail = False, f"WARM EXCEPTION {type(e).__name__}: {e}"
         failed += not ok
+        wtxt = f", warm {warm:.1f}s" if warm is not None else ""
         print(f"{'PASS' if ok else 'FAIL'} {name}: {detail} "
-              f"({time.time() - t0:.1f}s)")
+              f"(cold {cold:.1f}s{wtxt})")
     return 1 if failed else 0
 
 
