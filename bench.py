@@ -28,7 +28,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gpuntt_tpu.utils.timing import time_marginal  # noqa: E402
+from gpuntt_tpu.utils.timing import time_marginal_spread  # noqa: E402
 
 
 def _device_probe_ok(timeout_s: int = 300) -> bool:
@@ -87,10 +87,15 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
     def cell(fn, v, reps=repeats):
-        """Median-of-reps marginal + (max-min)/median noise bound."""
-        ds = sorted(time_marginal(fn, v) for _ in range(reps))
-        med = ds[len(ds) // 2]
-        return med, (ds[-1] - ds[0]) / med
+        """Median-of-reps slope + (max-min)/median noise bound.
+
+        time_marginal_spread compiles the k=1/k=4 chains ONCE and takes
+        `reps` independent slope measurements (escalating the averaging
+        depth until the spread converges) — the r3 version re-jitted
+        both chains per repeat, which multiplied compile time by 2*reps
+        per cell and blew the harness past the driver-friendly wall
+        clock once the u32/INTT cells were added."""
+        return time_marginal_spread(fn, v, repeats=reps)
 
     dt, noise_frac = cell(lambda v: ntt_lanes(v, plan), lanes)
     ntts_per_sec = batch / dt
@@ -225,9 +230,11 @@ def main():
             "u32_large_noise_frac": round(u32L_noise, 4),
             "u32_large_ntts_per_sec": round(batch32L / u32L_dt, 2),
             "u32_large_roofline_frac": round(u32L_roofline_frac, 4),
-            "timing": ("median of N marginal in-jit applications "
-                       "(k=1 vs k=4 chains), noise = (max-min)/median; "
-                       "roofline probe pinned best-of-N"),
+            "timing": ("median of N marginal-slope repeats over "
+                       "once-compiled k=1/k=4 jitted chains with "
+                       "escalating averaging depth, noise = "
+                       "(max-min)/median; roofline probes pinned "
+                       "best-of-N"),
             "device": str(dev),
         },
     }

@@ -260,6 +260,73 @@ def drive_shardmap_4step(logn=17, batch=2):
                 f"inside compiled shard_map, fwd+inv")
 
 
+def _drive_shardmap_ring(logn, batch, dims, label, check_golden=True):
+    """Compiled shard_map drive at north-star rings (VERDICT r3 item 1):
+    the distributed 4-step jitted over the dp=1 sp=1 mesh with the
+    DistFourStepPlan passed as a JIT ARGUMENT (registered pytree) — at
+    ring 2^24 the W tables are ~100s of MB and must ride as runtime
+    buffers, not closure constants (the relay compile-payload trap)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpuntt_tpu import NTT4StepCPU, NTTParameters4Step, ReductionPolynomial
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+    from gpuntt_tpu.parallel.fourstep_dist import (DistFourStepPlan,
+                                                   dist_fourstep_intt,
+                                                   dist_fourstep_ntt)
+    from gpuntt_tpu.parallel.mesh import make_mesh
+
+    p = NTTParameters4Step(logn, ReductionPolynomial.X_N_minus,
+                           dtype=np.uint64, dims=dims)
+    dplan = DistFourStepPlan.from_params(p)
+    mesh = make_mesh(dp=1)
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
+    lanes = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("dp", None, "sp"))),
+        to_lanes(x.reshape(batch, p.n1, p.n2), True))
+
+    fwd = jax.jit(lambda v, dp: dist_fourstep_ntt(
+        v, dp, mesh, local_engine="mxu", interpret=INTERPRET))
+    spec = fwd(lanes, dplan)
+    got = from_lanes(spec, True).reshape(batch, p.n)
+    if check_golden:
+        gen = NTT4StepCPU(p)
+        exp = np.stack([gen.ntt(x[i]) for i in range(batch)])
+        ok = np.array_equal(got, exp)
+    else:
+        ok = True
+    inv = jax.jit(lambda v, dp: dist_fourstep_intt(
+        v, dp, mesh, local_engine="mxu", interpret=INTERPRET))
+    back = from_lanes(inv(spec, dplan), True).reshape(batch, p.n)
+    ok = ok and np.array_equal(back, x)
+    par = "golden fwd + roundtrip" if check_golden else "roundtrip"
+    return ok, (f"2^{logn} x{batch} u64 n1xn2={p.n1}x{p.n2}, dp=1 sp=1, "
+                f"{label} rows inside compiled shard_map, dplan as jit "
+                f"arg, {par}")
+
+
+def drive_shardmap_24():
+    """North-star ring 2^24 (reference factor 256 x 65536) compiled:
+    local rows on the in-VMEM MXU engine at 2^16."""
+    if INTERPRET:
+        return _drive_shardmap_ring(16, 2, None, "in-VMEM MXU")
+    return _drive_shardmap_ring(24, 1, None, "in-VMEM MXU")
+
+
+def drive_shardmap_large():
+    """Ring 2^24 refactored 128 x 2^17 (the `dims` extension): local
+    rows through the COMPOSED LARGE-RING engine inside compiled
+    shard_map — the local-engine regime the 2^20+ efficiency claims
+    depend on (VERDICT r3 item 1)."""
+    if INTERPRET:
+        import gpuntt_tpu.parallel.fourstep_dist as fd
+
+        fd.MXU_LOCAL_LARGE_MIN_LOGN = 12
+        return _drive_shardmap_ring(14, 2, (4, 1 << 12), "large-engine")
+    return _drive_shardmap_ring(24, 1, (128, 1 << 17), "large-engine")
+
+
 ROUTES = {
     "u32-rns-kernel": drive_u32_rns,
     "u32-mxu": drive_u32_mxu,
@@ -268,6 +335,8 @@ ROUTES = {
     "percoeff-mxu": drive_percoeff,
     "wide62-mxu": drive_wide62,
     "shardmap-4step": drive_shardmap_4step,
+    "shardmap-24": drive_shardmap_24,
+    "shardmap-large": drive_shardmap_large,
 }
 
 

@@ -46,6 +46,10 @@ from ..ops.limb import U64, u64_from_numpy
 from ..ops.merge_ntt import ct_stages, gs_stages
 
 MXU_LOCAL_MIN_LOGN = 12  # below this the XLA stages win (see RESULTS sweep)
+# local sizes from here up take the composed large-ring engine (the
+# in-VMEM INVERSE kernel exceeds scoped VMEM at 2^17); tests lower it to
+# exercise the large-row route at interpret-feasible sizes
+MXU_LOCAL_LARGE_MIN_LOGN = 17
 
 
 def _tmap(f, *xs):
@@ -78,10 +82,15 @@ class DistFourStepPlan:
         # plain X_N_minus merge NTTs with roots omega^(n/n1), omega^(n/n2)
         # (nttparameters.cu:356-380), so the digit-matmul engine applies
         # unchanged; n_inv=1 keeps the inverse unscaled (the distributed
-        # chain applies the single n^-1 at the end).
+        # chain applies the single n^-1 at the end).  Local sizes beyond
+        # the in-VMEM kernel (2^17+, from the `dims` factorization
+        # extension) take the composed large-ring engine — the in-VMEM
+        # INVERSE kernel exceeds scoped VMEM at 2^17 (16.66M vs the 16M
+        # v5e limit), so the split mirrors dispatch's direction rule.
         col_mxu = row_mxu = None
         if base.is64 and q < (1 << 62):
             from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
+            from ..ops.pallas_mxu_large import MXULargePlan
 
             def sub_plan(nloc: int):
                 lg = nloc.bit_length() - 1
@@ -89,6 +98,9 @@ class DistFourStepPlan:
                     return None
                 r = host.exp(p.root_of_unity, p.n // nloc, p.modulus)
                 ir = host.modinv(r, p.modulus)
+                if lg >= MXU_LOCAL_LARGE_MIN_LOGN:
+                    return plan_to_device(MXULargePlan.from_spec(
+                        q, lg, r, ir, xnp=False, n_inv=1))
                 return plan_to_device(
                     MXUMergePlan.from_spec(q, lg, r, ir, xnp=False, n_inv=1))
 
@@ -102,6 +114,18 @@ class DistFourStepPlan:
             col_mxu=col_mxu,
             row_mxu=row_mxu,
         )
+
+
+# Registered pytree: at north-star rings (2^20-2^24) the W tables run to
+# hundreds of MB, so the dist plan must enter a compiled drive as a jit
+# ARGUMENT — closed over, those tables inline into the HLO and trip the
+# relay's compile-payload cap (the known closure-constant trap).
+jax.tree_util.register_dataclass(
+    DistFourStepPlan,
+    data_fields=["base", "w_chain_inv", "w_chain_inv_sh", "col_mxu",
+                 "row_mxu"],
+    meta_fields=[],
+)
 
 
 def _ntt_axis1(v, table, shoup, ops_, log_size):
@@ -118,12 +142,16 @@ def _intt_axis1(v, table, shoup, ops_, log_size):
 
 
 def _mxu_last_axis(v: U64, sub_plan, inverse: bool, interpret: bool) -> U64:
-    """Local NTT along the last axis via the MXU merge kernel."""
+    """Local NTT along the last axis via the MXU merge kernel (in-VMEM
+    for local sizes <= 2^16, composed large-ring engine beyond)."""
     from ..ops.pallas_mxu import pallas_mxu_u64
+    from ..ops.pallas_mxu_large import MXULargePlan, pallas_mxu_large_u64
 
     b0, b1, nloc = v.hi.shape
     rows = U64(v.hi.reshape(b0 * b1, nloc), v.lo.reshape(b0 * b1, nloc))
-    z = pallas_mxu_u64(rows, sub_plan, inverse=inverse, interpret=interpret)
+    fn = (pallas_mxu_large_u64 if isinstance(sub_plan, MXULargePlan)
+          else pallas_mxu_u64)
+    z = fn(rows, sub_plan, inverse=inverse, interpret=interpret)
     return U64(z.hi.reshape(b0, b1, nloc), z.lo.reshape(b0, b1, nloc))
 
 

@@ -90,7 +90,14 @@ class NTTParameters4Step:
         poly_reduction: ReductionPolynomial = ReductionPolynomial.X_N_minus,
         dtype=np.uint64,
         factors=None,
+        dims: tuple[int, int] | None = None,
     ):
+        """`dims` (TPU extension, no reference counterpart): explicit
+        (n1, n2) factorization overriding MATRIX_DIMENSIONS — lets the
+        distributed 4-step choose row sizes beyond the reference table's
+        n2 <= 65536 (e.g. 2^24 = 128 x 2^17 puts the per-shard row
+        transforms on the large-ring MXU engine).  Both must be powers
+        of two with n1 * n2 == 2^logn."""
         self.logn = int(logn)
         self.n = 1 << self.logn
         self.poly_reduction = poly_reduction
@@ -125,7 +132,15 @@ class NTTParameters4Step:
             else 1 << self.logn
         )
 
-        self.n1, self.n2 = MATRIX_DIMENSIONS[self.logn]
+        if dims is not None:
+            n1, n2 = int(dims[0]), int(dims[1])
+            custom_assert(
+                n1 >= 2 and n2 >= 2 and n1 & (n1 - 1) == 0
+                and n2 & (n2 - 1) == 0 and n1 * n2 == self.n,
+                "dims must be powers of two with n1 * n2 == 2^logn")
+            self.n1, self.n2 = n1, n2
+        else:
+            self.n1, self.n2 = MATRIX_DIMENSIONS[self.logn]
         q = self.modulus.value
 
         # Small half-length tables (nttparameters.cu:356-380, :398-428):
