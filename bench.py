@@ -123,10 +123,12 @@ def main():
     # modular matrix phases of 64 int8 digit matmuls each, i.e.
     # 64*(A^2 B + A B^2) exact MACs per polynomial.  Ideal time at the
     # v5e int8 peak (394.7 Tops = 197.3e12 MACs/s) over the measured
-    # batch time is the whole-kernel MXU duty cycle — distinct from the
-    # ~94% utilisation *inside* the dot section (docs/DESIGN.md): the
-    # gap is the serialized VPU recombination, which this metric owns
-    # up to instead of hiding.
+    # batch time is the whole-kernel MXU duty cycle.  The r4 unit
+    # decomposition (benchmarks/duty_trace.py, DESIGN.md) shows this is
+    # STRUCTURAL: the kernel is VPU-recombination-bound and the MXU work
+    # rides hidden underneath it (full ~= combine-only on the device
+    # timeline), so ~0.55-0.59 is the hidden-MXU share of a VPU-bound
+    # total, not recoverable idle time.
     V5E_INT8_MACS = 394.7e12 / 2
     from gpuntt_tpu.ops.dispatch import _kernel_path
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
