@@ -114,10 +114,36 @@ def cell_polymul24(captures=2):
               f"win {(1 - tf/tu)*100:.0f}%")
 
 
+def cell_u32_crossover(logn=16, batch=128):
+    """u32 headline-shape engine comparison: the default VPU whole-block
+    route reads 0.354 of the u32 Shoup-modmul roofline (r4 bench) — is
+    the MXU32 digit-matmul engine faster at the batched shape?  (r1
+    measured the STACKED RNS u32 kernel at 0.64x XLA; the single-modulus
+    engine at batch was never measured head-to-head.)"""
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial
+    from gpuntt_tpu.ops.dispatch import ntt_lanes
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, to_lanes
+    from gpuntt_tpu.utils.timing import time_marginal_spread
+
+    rng = np.random.default_rng(0)
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint32)
+    plan = MergePlan.from_params(p)
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n),
+                     dtype=np.uint64).astype(np.uint32)
+    lanes = to_lanes(x, False)
+    for route in ("vpu", "mxu32"):
+        dt, nz = time_marginal_spread(
+            lambda v, pl: ntt_lanes(v, pl, use_pallas=route), lanes,
+            extra=(plan,))
+        print(f"u32 2^{logn} x{batch} route={route}: {dt*1e3:.3f} ms/batch "
+              f"({batch/dt:.0f} NTT/s) noise {nz:.0%}")
+
+
 CELLS = {
     "fourstep13": cell_fourstep13,
     "u32-19": cell_u32_19,
     "polymul24": cell_polymul24,
+    "u32-crossover": cell_u32_crossover,
 }
 
 

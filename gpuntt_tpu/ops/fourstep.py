@@ -160,9 +160,13 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     Returns the transformed lanes, or None if ineligible."""
     import jax as _jax
 
-    # measured on v5e: the u64 MXU engine wins from logn 14; for u32 the
-    # stage-sweep engine stays ahead until the n2 > 512 sizes (logn 17+)
-    lo = 14 if plan.is64 else 17
+    # measured on v5e: the u64 MXU engine wins across the whole 4-step
+    # range — r4 head-to-head at batch 1 (chiplog/r4_defects.out):
+    # logn 12 MXU 0.0036 ms vs XLA 0.0111, logn 13 0.0073 vs 0.0318
+    # (the r3 "logn-13 anomaly" was this crossover misplaced at 14).
+    # For u32 the stage-sweep engine stays ahead until the n2 > 512
+    # sizes (logn 17+).
+    lo = 12 if plan.is64 else 17
     q_max = (1 << 62) if plan.is64 else (1 << 30)
     # logn 24 (MATRIX_DIMENSIONS max, nttparameters.cu:305-354) only
     # EAGERLY: each pallas_call then compiles as its own small program
