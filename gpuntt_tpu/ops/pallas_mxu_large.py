@@ -121,7 +121,8 @@ class MXULargePlan:
     def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
                   n_inv: int, a_col: int | None = None,
                   tile: int | None = None, max_row_logn: int = 16,
-                  row_kwargs: dict | None = None) -> "MXULargePlan":
+                  row_kwargs: dict | None = None,
+                  col_only: bool = False) -> "MXULargePlan":
         """Plan for a merge NTT given its field spec (`root` is omega
         for X_N_minus, psi for X_N_plus; `n_inv` is the total inverse
         scaling, folded into the last-applied column matrix).
@@ -209,7 +210,12 @@ class MXULargePlan:
         col_inv = dig(ginv_col)
 
         kw: dict = {}
-        if B <= 512:
+        if col_only:
+            # column-phase consumer (the distributed 4-step's local
+            # col-NTT + W step): skip the row-table build entirely —
+            # _row_call must never run on such a plan
+            kw = dict(row_plan=None)
+        elif B <= 512:
             logB_ = B.bit_length() - 1
             brB = [bitreverse(b, logB_) for b in range(B)]
             rrT = np.ascontiguousarray(_pow_matrix(
@@ -363,6 +369,52 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
         input_output_aliases={10: 0, 11: 1},
         interpret=interpret,
     )(md, mc, *wt, *ws, x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
+    return U64(oh, ol)
+
+
+def col_phase_local(x: U64, plan: MXULargePlan, ws_local, inverse: bool,
+                    interpret: bool = False) -> U64:
+    """Column phase on a SHARD-LOCAL slice (the distributed 4-step's
+    local col-NTT + W step, parallel/fourstep_dist.py).
+
+    x: (batch, A, B_local) with B_local = plan.B / sp; `ws_local` is
+    this shard's slice of the per-tile W scale columns (leading axis
+    B_local // tile — sharded alongside the data by the caller's
+    shard_map specs, so the factored W product lands on the right
+    global column indices).  Forward computes W o (Mcol @ X); inverse
+    computes Ginv_col @ (W^-1 o X) — exactly the production column
+    kernels, gridded over the local tile count."""
+    batch, A, B_local = x.hi.shape
+    consts = kernel_consts(plan)
+    if inverse:
+        kernel, md, mc = _colinv_kernel, plan.col_inv, plan.col_inv_corr
+        wt = plan.wt_inv
+        T = plan.tile_inv or plan.tile
+    else:
+        kernel, md, mc = _colfwd_kernel, plan.col_fwd, plan.col_fwd_corr
+        wt = plan.wt_fwd
+        T = plan.tile
+    assert B_local % T == 0, (B_local, T)
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    wt_specs = [fullspec(t) for t in wt]
+    ws_specs = [pl.BlockSpec((1, A, 1), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in ws_local]
+    blk = pl.BlockSpec((1, A, T), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    oh, ol = pl.pallas_call(
+        functools.partial(kernel, consts=consts),
+        out_shape=(jax.ShapeDtypeStruct((batch, A, B_local), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, A, B_local), jnp.uint32)),
+        grid=(batch, B_local // T),
+        in_specs=[fullspec(md), fullspec(mc), *wt_specs, *ws_specs, blk, blk],
+        out_specs=(blk, blk),
+        input_output_aliases={10: 0, 11: 1},
+        interpret=interpret,
+    )(md, mc, *wt, *ws_local, x.hi, x.lo)
     return U64(oh, ol)
 
 

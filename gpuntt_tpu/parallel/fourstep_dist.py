@@ -39,11 +39,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..params.fourstep import NTTParameters4Step
+from ..params.merge import ReductionPolynomial
 from ..arith import host
 from ..ops import barrett as bo
 from ..ops.fourstep import FourStepPlan
 from ..ops.limb import U64, u64_from_numpy
 from ..ops.merge_ntt import ct_stages, gs_stages
+from ..ops.pallas_mxu_large import col_phase_local
 
 MXU_LOCAL_MIN_LOGN = 12  # below this the XLA stages win (see RESULTS sweep)
 # local sizes from here up take the composed large-ring engine (the
@@ -59,13 +61,23 @@ def _tmap(f, *xs):
 @dataclass(frozen=True)
 class DistFourStepPlan:
     """FourStepPlan + the chain-inverse W table the distributed INTT uses,
-    plus optional MXU sub-plans for the local column/row transforms."""
+    plus optional MXU sub-plans for the local column/row transforms.
+
+    `colmat` (u64, 8 <= n1 <= 512): a column-only MXULargePlan whose
+    forward column phase computes W o (colNTT(x)) and whose inverse
+    computes colINTT(W^-1 o x) unscaled — one Pallas pass replacing the
+    XLA stage sweeps + elementwise W product, which at ring 2^24 cost
+    ~16 ms/transform of HBM-bound elementwise fusions (r4 trace,
+    RESULTS_r4).  The factored-W identity makes this exact: the
+    large-ring merge column phase at X_N_minus IS the 4-step's
+    col-NTT-then-W with root = the full-ring omega."""
 
     base: FourStepPlan
     w_chain_inv: Any  # (n1, n2) lanes, elementwise inverse of w_fwd
     w_chain_inv_sh: Any
     col_mxu: Any = None  # MXUMergePlan for the local n1-point NTT
     row_mxu: Any = None  # MXUMergePlan for the local n2-point NTT
+    colmat: Any = None   # col-only MXULargePlan (fused col NTT + W)
 
     @staticmethod
     def from_params(p: NTTParameters4Step) -> "DistFourStepPlan":
@@ -107,12 +119,32 @@ class DistFourStepPlan:
             col_mxu = sub_plan(p.n1)
             row_mxu = sub_plan(p.n2)
 
+        # fused col-NTT + W column kernel (see class docstring); only
+        # X_N_minus reaches the distributed 4-step (the reference 4-step
+        # is X_N_minus-only), and A <= 512 keeps the digit accumulators
+        # exact.  tile=128 so any sp with n2/sp >= 128 divides evenly.
+        colmat = None
+        if (base.is64 and q < (1 << 62) and 8 <= p.n1 <= 512
+                and p.poly_reduction == ReductionPolynomial.X_N_minus):
+            from ..ops.pallas_mxu import plan_to_device as _p2d
+            from ..ops.pallas_mxu_large import MXULargePlan
+
+            # n_inv = B^-1 makes the inverse column matrix carry NO
+            # scaling (from_spec folds n_inv * B into it): the dist
+            # chain applies the single n^-1 at the end
+            colmat = _p2d(MXULargePlan.from_spec(
+                q, p.logn, p.root_of_unity, host.modinv(
+                    p.root_of_unity, p.modulus), xnp=False,
+                n_inv=pow(p.n2, q - 2, q), a_col=p.n1, tile=128,
+                col_only=True))
+
         return DistFourStepPlan(
             base=base,
             w_chain_inv=rep(wci),
             w_chain_inv_sh=rep(bo.shoup_companion(wci, q, word)),
             col_mxu=col_mxu,
             row_mxu=row_mxu,
+            colmat=colmat,
         )
 
 
@@ -123,7 +155,7 @@ class DistFourStepPlan:
 jax.tree_util.register_dataclass(
     DistFourStepPlan,
     data_fields=["base", "w_chain_inv", "w_chain_inv_sh", "col_mxu",
-                 "row_mxu"],
+                 "row_mxu", "colmat"],
     meta_fields=[],
 )
 
@@ -162,20 +194,28 @@ def _mxu_axis1(v: U64, sub_plan, inverse: bool, interpret: bool) -> U64:
 
 
 def _local_fwd(x, w, ws, plan: FourStepPlan, dplan=None, local="xla",
-               interpret=False):
+               interpret=False, cws=None):
     """Per-shard forward: local column NTT + local W product + all_to_all
-    + local row NTT.  Runs inside shard_map; x: (B/dp, n1, n2/sp)."""
+    + local row NTT.  Runs inside shard_map; x: (B/dp, n1, n2/sp).
+    `cws` (colmat route): this shard's slice of the fused column
+    kernel's per-tile W scale columns."""
     ops_ = plan.ops()
     log_n1 = plan.n1.bit_length() - 1
     log_n2 = plan.n2.bit_length() - 1
-    use_col = local == "mxu" and dplan is not None and dplan.col_mxu is not None
     use_row = local == "mxu" and dplan is not None and dplan.row_mxu is not None
 
-    if use_col:
-        v = _mxu_axis1(x, dplan.col_mxu, False, interpret)
+    if cws is not None:
+        # fused col-NTT + W in one Pallas pass (see DistFourStepPlan)
+        v = col_phase_local(x, dplan.colmat, cws, inverse=False,
+                            interpret=interpret)
     else:
-        v = _ntt_axis1(x, plan.n1_fwd, plan.n1_fwd_sh, ops_, log_n1)
-    v = ops_["mulc"](v, w, ws)
+        use_col = (local == "mxu" and dplan is not None
+                   and dplan.col_mxu is not None)
+        if use_col:
+            v = _mxu_axis1(x, dplan.col_mxu, False, interpret)
+        else:
+            v = _ntt_axis1(x, plan.n1_fwd, plan.n1_fwd_sh, ops_, log_n1)
+        v = ops_["mulc"](v, w, ws)
     # distributed transpose: split n1 (axis 1) across sp, gather n2 (axis 2)
     v = _tmap(
         lambda a: jax.lax.all_to_all(a, "sp", split_axis=1, concat_axis=2, tiled=True),
@@ -191,12 +231,13 @@ def _local_fwd(x, w, ws, plan: FourStepPlan, dplan=None, local="xla",
 
 
 def _local_inv(s, wci, wcis, plan: FourStepPlan, dplan=None, local="xla",
-               interpret=False):
-    """Per-shard inverse chain; s: (B/dp, n2, n1/sp) -> (B/dp, n1, n2/sp)."""
+               interpret=False, cws=None):
+    """Per-shard inverse chain; s: (B/dp, n2, n1/sp) -> (B/dp, n1, n2/sp).
+    `cws` (colmat route): shard slice of the inverse column kernel's
+    per-tile W^-1 scale columns."""
     ops_ = plan.ops()
     log_n1 = plan.n1.bit_length() - 1
     log_n2 = plan.n2.bit_length() - 1
-    use_col = local == "mxu" and dplan is not None and dplan.col_mxu is not None
     use_row = local == "mxu" and dplan is not None and dplan.row_mxu is not None
 
     v = _tmap(lambda a: jnp.swapaxes(a, 1, 2), s)  # (B, n1/sp, n2)
@@ -209,11 +250,18 @@ def _local_inv(s, wci, wcis, plan: FourStepPlan, dplan=None, local="xla",
         lambda a: jax.lax.all_to_all(a, "sp", split_axis=2, concat_axis=1, tiled=True),
         v,
     )
-    v = ops_["mulc"](v, wci, wcis)
-    if use_col:
-        v = _mxu_axis1(v, dplan.col_mxu, True, interpret)
+    if cws is not None:
+        # fused W^-1 + unscaled col-INTT in one Pallas pass
+        v = col_phase_local(v, dplan.colmat, cws, inverse=True,
+                            interpret=interpret)
     else:
-        v = _intt_axis1(v, plan.n1_inv, plan.n1_inv_sh, ops_, log_n1)
+        use_col = (local == "mxu" and dplan is not None
+                   and dplan.col_mxu is not None)
+        v = ops_["mulc"](v, wci, wcis)
+        if use_col:
+            v = _mxu_axis1(v, dplan.col_mxu, True, interpret)
+        else:
+            v = _intt_axis1(v, plan.n1_inv, plan.n1_inv_sh, ops_, log_n1)
     v = ops_["mulc"](v, plan.n_inv_rep, plan.n_inv_shoup)
     return v
 
@@ -221,8 +269,19 @@ def _local_inv(s, wci, wcis, plan: FourStepPlan, dplan=None, local="xla",
 def _resolve_local(dplan: DistFourStepPlan, local_engine):
     if local_engine is not None:
         return local_engine
-    has_mxu = dplan.col_mxu is not None or dplan.row_mxu is not None
+    has_mxu = (dplan.col_mxu is not None or dplan.row_mxu is not None
+               or dplan.colmat is not None)
     return "mxu" if has_mxu and jax.default_backend() == "tpu" else "xla"
+
+
+def _colmat_ok(dplan: DistFourStepPlan, mesh: Mesh, local: str) -> bool:
+    """The fused column kernel needs each shard's n2 slice to hold a
+    whole number of its W tiles."""
+    if local != "mxu" or dplan.colmat is None:
+        return False
+    n2_local = dplan.base.n2 // mesh.shape["sp"]
+    t = max(dplan.colmat.tile, dplan.colmat.tile_inv or dplan.colmat.tile)
+    return n2_local >= t and n2_local % t == 0
 
 
 def _chunked(fn, v, chunks: int):
@@ -259,6 +318,21 @@ def dist_fourstep_ntt(x, dplan: DistFourStepPlan, mesh: Mesh,
     """
     plan = dplan.base
     local = _resolve_local(dplan, local_engine)
+    if _colmat_ok(dplan, mesh, local):
+        # fused column route: the per-tile W scale columns travel as a
+        # shard_map input sharded on the tile axis, so each shard's
+        # kernel multiplies by ITS global columns' factors
+        f = jax.shard_map(
+            lambda v, cws: _chunked(
+                lambda u: _local_fwd(u, None, None, plan, dplan, local,
+                                     interpret, cws=cws),
+                v, pipeline_chunks),
+            mesh=mesh,
+            in_specs=(P("dp", None, "sp"), P("sp", None, None)),
+            out_specs=P("dp", None, "sp"),
+            check_vma=False,
+        )
+        return f(x, dplan.colmat.ws_fwd)
     f = jax.shard_map(
         lambda v, w, ws: _chunked(
             lambda u: _local_fwd(u, w, ws, plan, dplan, local, interpret),
@@ -280,6 +354,18 @@ def dist_fourstep_intt(s, dplan: DistFourStepPlan, mesh: Mesh,
     pipeline_chunks as in dist_fourstep_ntt."""
     plan = dplan.base
     local = _resolve_local(dplan, local_engine)
+    if _colmat_ok(dplan, mesh, local):
+        f = jax.shard_map(
+            lambda v, cws: _chunked(
+                lambda u: _local_inv(u, None, None, plan, dplan, local,
+                                     interpret, cws=cws),
+                v, pipeline_chunks),
+            mesh=mesh,
+            in_specs=(P("dp", None, "sp"), P("sp", None, None)),
+            out_specs=P("dp", None, "sp"),
+            check_vma=False,
+        )
+        return f(s, dplan.colmat.ws_inv)
     f = jax.shard_map(
         lambda v, w, ws: _chunked(
             lambda u: _local_inv(u, w, ws, plan, dplan, local, interpret),

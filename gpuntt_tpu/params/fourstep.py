@@ -97,7 +97,16 @@ class NTTParameters4Step:
         distributed 4-step choose row sizes beyond the reference table's
         n2 <= 65536 (e.g. 2^24 = 128 x 2^17 puts the per-shard row
         transforms on the large-ring MXU engine).  Both must be powers
-        of two with n1 * n2 == 2^logn."""
+        of two with n1 * n2 == 2^logn.
+
+        Spectrum-order caveat: the 4-step output ORDER depends on the
+        factorization (each split is its own output convention, exactly
+        as the reference's convention is its table's).  A custom-dims
+        forward pairs with the same-dims inverse bit-exactly and
+        pointwise products in the spectrum domain are order-independent
+        (tests/test_fourstep.py::test_custom_dims_factorization), but
+        spectra from DIFFERENT splits are permutations of each other —
+        do not mix them elementwise."""
         self.logn = int(logn)
         self.n = 1 << self.logn
         self.poly_reduction = poly_reduction

@@ -144,3 +144,46 @@ def test_dist_pipeline_chunks_bit_exact(rng):
     odd = jax.jit(lambda v: dist_fourstep_ntt(
         v, dplan, mesh, pipeline_chunks=3))(lanes)
     np.testing.assert_array_equal(np.asarray(base.hi), np.asarray(odd.hi))
+
+
+def test_dist_colmat_route(rng):
+    """The fused col-NTT+W column kernel (DistFourStepPlan.colmat, r4):
+    explicitly forced MXU local engine in interpret mode, sp chosen so
+    each shard holds whole W tiles — bit-exact vs the golden forward
+    and exact roundtrip, and identical to the XLA route's output."""
+    from gpuntt_tpu.parallel import fourstep_dist as fd
+
+    p = NTTParameters4Step(13, ReductionPolynomial.X_N_minus,
+                           dtype=np.uint64)
+    dplan = DistFourStepPlan.from_params(p)
+    assert dplan.colmat is not None
+    mesh = make_mesh(dp=4, sp=2)  # n2/sp = 128 = one W tile per shard
+    assert fd._colmat_ok(dplan, mesh, "mxu")
+    gen = NTT4StepCPU(p)
+    batch = 4
+    x = rng.integers(0, p.modulus.value, size=(batch, p.n), dtype=np.uint64)
+    lanes = _tput(to_lanes(x.reshape(batch, p.n1, p.n2), True), mesh,
+                  P("dp", None, "sp"))
+    spec = jax.jit(lambda v: dist_fourstep_ntt(
+        v, dplan, mesh, local_engine="mxu", interpret=True))(lanes)
+    got = from_lanes(spec, True).reshape(batch, p.n)
+    exp = np.stack([gen.ntt(x[i]) for i in range(batch)])
+    np.testing.assert_array_equal(got, exp)
+    # identical to the unfused route
+    spec_xla = jax.jit(lambda v: dist_fourstep_ntt(
+        v, dplan, mesh, local_engine="xla"))(lanes)
+    np.testing.assert_array_equal(
+        from_lanes(spec_xla, True), from_lanes(spec, True))
+    back = jax.jit(lambda v: dist_fourstep_intt(
+        v, dplan, mesh, local_engine="mxu", interpret=True))(spec)
+    np.testing.assert_array_equal(
+        from_lanes(back, True).reshape(batch, p.n), x)
+    # indivisible shard width falls back cleanly (n2/sp = 64 < tile)
+    mesh4 = make_mesh(dp=2, sp=4)
+    assert not fd._colmat_ok(dplan, mesh4, "mxu")
+    lanes4 = _tput(to_lanes(x.reshape(batch, p.n1, p.n2), True), mesh4,
+                   P("dp", None, "sp"))
+    spec4 = jax.jit(lambda v: dist_fourstep_ntt(
+        v, dplan, mesh4, local_engine="mxu", interpret=True))(lanes4)
+    np.testing.assert_array_equal(
+        from_lanes(spec4, True).reshape(batch, p.n), exp)

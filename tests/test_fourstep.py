@@ -92,3 +92,64 @@ def test_fourstep_roundtrip_u64(rng):
         True,
     )
     np.testing.assert_array_equal(back, x)
+
+
+def test_custom_dims_factorization(rng):
+    """The `dims` extension (TPU-only, no reference counterpart): an
+    explicit n1 x n2 override evaluates the same polynomial at the same
+    points (a permuted spectrum — each split is its own output
+    convention), inverts exactly, keeps pointwise products
+    order-independent, and the engines stay bit-exact vs the same-dims
+    golden."""
+    p_def = NTTParameters4Step(13, ReductionPolynomial.X_N_minus,
+                               dtype=np.uint64)
+    p_cus = NTTParameters4Step(13, ReductionPolynomial.X_N_minus,
+                               dtype=np.uint64, dims=(64, 128))
+    assert (p_cus.n1, p_cus.n2) == (64, 128) != (p_def.n1, p_def.n2)
+    x = rng.integers(0, p_def.modulus.value, size=(2, p_def.n),
+                     dtype=np.uint64)
+    gen_def, gen_cus = NTT4StepCPU(p_def), NTT4StepCPU(p_cus)
+    exp_def = np.stack([gen_def.ntt(x[i]) for i in range(2)])
+    got = np.stack([gen_cus.ntt(x[i]) for i in range(2)])
+    # the spectrum ORDER is factorization-dependent (each split is its
+    # own output convention, exactly as the reference's convention is
+    # its table's); the values are the same evaluation multiset and the
+    # pair inverts exactly
+    assert not np.array_equal(got, exp_def)
+    np.testing.assert_array_equal(np.sort(got, axis=1),
+                                  np.sort(exp_def, axis=1))
+    np.testing.assert_array_equal(
+        np.stack([gen_cus.intt(got[i]) for i in range(2)]), x)
+    # pointwise products are order-independent: polymul through the
+    # custom split equals polymul through the default split
+    y = rng.integers(0, p_def.modulus.value, size=(2, p_def.n),
+                     dtype=np.uint64)
+    prod_def = np.stack([
+        gen_def.intt(gen_def.mult(gen_def.ntt(x[i]), gen_def.ntt(y[i])))
+        for i in range(2)])
+    prod_cus = np.stack([
+        gen_cus.intt(gen_cus.mult(gen_cus.ntt(x[i]), gen_cus.ntt(y[i])))
+        for i in range(2)])
+    np.testing.assert_array_equal(prod_cus, prod_def)
+    # engine parity + roundtrip on the custom split (the engines must be
+    # bit-exact vs the SAME-dims golden for any valid split)
+    plan = FourStepPlan.from_params(p_cus)
+    lanes = to_lanes(x, True)
+    spec = from_lanes(
+        jax.jit(lambda v: fourstep_ntt_full(v, plan))(lanes), True)
+    np.testing.assert_array_equal(spec, got)
+    back = from_lanes(
+        jax.jit(lambda v: fourstep_intt_full(fourstep_ntt_full(v, plan),
+                                             plan))(lanes), True)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_invalid_dims_rejected():
+    import pytest as _pytest
+
+    from gpuntt_tpu.common.errors import NTTError
+
+    for dims in ((48, 128), (64, 64), (1, 8192)):
+        with _pytest.raises((NTTError, AssertionError)):
+            NTTParameters4Step(13, ReductionPolynomial.X_N_minus,
+                               dtype=np.uint64, dims=dims)
