@@ -301,17 +301,22 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
                      layout: NTTLayout = NTTLayout.PerPolynomial,
                      inverse: bool = False, signed_input: bool = False,
                      signed_output: bool = False):
-    """Device-resident merge NTT at logn 24-28 on TPU: the column and
-    row phases run as separate CACHED jitted programs with arrays
-    staying on device between them — the TPU analog of the reference's
-    3-4-launch big-N plans (ntt.cuh:665-698, ForwardCore_
-    ntt.cu:2163-2224); one composed program at these sizes overwhelms
-    the compiler.  NOT jittable as a whole; call from eager code with
-    lane-representation (U64 pair / uint32) inputs; the first call per
-    (plan, batch) compiles each phase, later calls are cache hits.
-    Returns None when ineligible (non-TPU, wide q, u32 beyond the
-    pool ceiling, non-root factors) — callers fall back to the jitted
-    XLA engine."""
+    """Device-resident merge NTT at logn 24-28 on TPU.
+
+    logn 24-25 (r4): ONE composed cached jitted program (col kernel +
+    in-VMEM rows) — the r3 multi-program staging at these sizes was
+    working around the closure-constant inline path, and the composed
+    form with the plan as a pytree jit argument both compiles and runs
+    ~16% faster (8.50/8.35 ms at 2^24, chiplog/r4_composed24.out).
+    logn 26-28: the column and row phases run as separate CACHED jitted
+    programs with arrays staying on device between them — the TPU
+    analog of the reference's 3-4-launch big-N plans (ntt.cuh:665-698,
+    ForwardCore_ ntt.cu:2163-2224); rows recurse into nested large
+    plans there.  Call from eager code with lane-representation (U64
+    pair / uint32) inputs; the first call per (plan, batch) compiles,
+    later calls are cache hits.  Returns None when ineligible (non-TPU,
+    wide q, u32 beyond the pool ceiling, non-root factors) — callers
+    fall back to the jitted XLA engine."""
     import jax as _jax
 
     if (_jax.default_backend() != "tpu" or plan.params is None
@@ -321,12 +326,15 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
     if len(shape) != 2:
         return None
     if not plan.is64:
-        # u32 staged route: the reference u32 pool reaches logn 25
-        # (nttparameters.cu:84-98) — 2 cached phase programs, same
-        # design as the u64 route below
+        # u32 big-N route: the reference u32 pool reaches logn 25
+        # (nttparameters.cu:84-98).  r4: with the plan as a pytree jit
+        # ARGUMENT the composed col+row program compiles on chip
+        # (chiplog/r4_composed25.out — the r3 staging was working
+        # around the closure-constant inline path), so both sizes run
+        # as ONE cached jitted program.
         if plan.q >= (1 << 30) or plan.logn > 25:
             return None
-        from .pallas_mxu32 import mxu32_large_plan, staged_mxu32_large
+        from .pallas_mxu32 import mxu32_large_plan, pallas_mxu32_large_jit
 
         try:
             mp = mxu32_large_plan(plan.params)
@@ -335,13 +343,14 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
         x_lanes = _apply_layout_in(x_lanes, layout)
         if signed_input:
             x_lanes = bo.reduce_signed32(x_lanes, plan.q)
-        y = staged_mxu32_large(x_lanes, mp, inverse=inverse)
+        y = pallas_mxu32_large_jit(x_lanes, mp, inverse=inverse)
         if signed_output:
             y = bo.centered32(y, plan.q)
         return _apply_layout_out(y, layout)
     if plan.q >= (1 << 62):
         return None
-    from .pallas_mxu_large import mxu_large_plan, staged_mxu_large_u64
+    from .pallas_mxu_large import (mxu_large_plan, pallas_mxu_large_jit,
+                                   staged_mxu_large_u64)
 
     try:
         mp = mxu_large_plan(plan.params)
@@ -350,7 +359,14 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
     x_lanes = _apply_layout_in(x_lanes, layout)
     if signed_input:
         x_lanes = bo.reduce_signed64(x_lanes, bo.u64_const(plan.q))
-    y = staged_mxu_large_u64(x_lanes, mp, inverse=inverse)
+    if plan.logn <= 25:
+        # composed single program (r4): 8.50/8.35 ms at 2^24 vs the
+        # staged chain's 10.1/10.8 — and jittable.  26-28 keep the
+        # staged multi-program route (their rows recurse into nested
+        # large plans; the composed form is untested at that depth).
+        y = pallas_mxu_large_jit(x_lanes, mp, inverse=inverse)
+    else:
+        y = staged_mxu_large_u64(x_lanes, mp, inverse=inverse)
     if signed_output:
         y = bo.centered64(y, bo.u64_const(plan.q))
     return _apply_layout_out(y, layout)
@@ -380,13 +396,23 @@ def staged_polymul_lanes(a_lanes, b_lanes, plan: MergePlan):
         return None
     if len(jax.tree_util.tree_leaves(a_lanes)[0].shape) != 2:
         return None
-    from .pallas_mxu_large import (mxu_large_plan, staged_mxu_large_polymul,
+    from .pallas_mxu import MXUMergePlan
+    from .pallas_mxu_large import (mxu_large_plan, pallas_mxu_large_jit,
+                                   pallas_mxu_large_polymul_inv_jit,
+                                   staged_mxu_large_polymul,
                                    staged_mxu_large_u64)
 
     try:
         mp = mxu_large_plan(plan.params)
     except ValueError:
         return None  # garbage-in factors: XLA engine parity path
+    if plan.logn <= 25 and isinstance(mp.row_plan, MXUMergePlan):
+        # composed route (r4): two single-program forwards + the fused
+        # product+inverse as one program — 3 compiled programs instead
+        # of the staged chain's 5
+        fa = pallas_mxu_large_jit(a_lanes, mp)
+        fb = pallas_mxu_large_jit(b_lanes, mp)
+        return pallas_mxu_large_polymul_inv_jit(fa, fb, mp)
     try:
         return staged_mxu_large_polymul(a_lanes, b_lanes, mp)
     except ValueError:

@@ -443,6 +443,13 @@ def _row_phase32(x, plan: "MXU32LargePlan", inverse: bool,
     return y.reshape(batch, n)
 
 
+# Composed single-program jit (r4, cf. pallas_mxu_large_jit): with the
+# plan as a pytree argument the composed u32 col+row program compiles
+# and roundtrips on chip at 2^24-25 (chiplog/r4_composed25.out).
+pallas_mxu32_large_jit = functools.partial(
+    jax.jit, static_argnames=("inverse", "interpret"))(pallas_mxu32_large)
+
+
 def staged_mxu32_large(x, plan: "MXU32LargePlan", inverse: bool = False,
                        interpret: bool = False):
     """Device-resident staged u32 merge NTT for logn 24-25; NOT

@@ -501,6 +501,16 @@ def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
     return _row_call(y, plan, inverse=False, interpret=interpret)
 
 
+# Composed single-program jit (r4): with the plan as a pytree ARGUMENT
+# the composed col+row program compiles on chip all the way to 2^25 —
+# the r3 "composed 2^24 crashes the relay" barrier was the
+# closure-constant path (inline tables), not program size.  Measured at
+# 2^24: 8.50/8.35 ms fwd/inv vs the staged route's 10.1/10.8 (-16%),
+# and the result is JITTABLE (chiplog/r4_composed24.out, r4_composed25).
+pallas_mxu_large_jit = functools.partial(
+    jax.jit, static_argnames=("inverse", "interpret"))(pallas_mxu_large_u64)
+
+
 def pallas_mxu_large_polymul_inv(fa: U64, fb: U64, plan: MXULargePlan,
                                  interpret: bool = False) -> U64:
     """INTT(fa o fb) on the large-ring route with the pointwise product
@@ -520,6 +530,10 @@ def pallas_mxu_large_polymul_inv(fa: U64, fb: U64, plan: MXULargePlan,
     y = U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
     z = _col_call(y, plan, inverse=True, interpret=interpret)
     return U64(z.hi.reshape(batch, n), z.lo.reshape(batch, n))
+
+
+pallas_mxu_large_polymul_inv_jit = functools.partial(
+    jax.jit, static_argnames=("interpret",))(pallas_mxu_large_polymul_inv)
 
 
 # ------------------------------------------- staged big-N route (logn >= 24)
