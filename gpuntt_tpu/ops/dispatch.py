@@ -349,8 +349,7 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
         return _apply_layout_out(y, layout)
     if plan.q >= (1 << 62):
         return None
-    from .pallas_mxu_large import (mxu_large_plan, pallas_mxu_large_jit,
-                                   staged_mxu_large_u64)
+    from .pallas_mxu_large import mxu_large_plan, pallas_mxu_large_jit
 
     try:
         mp = mxu_large_plan(plan.params)
@@ -359,14 +358,12 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
     x_lanes = _apply_layout_in(x_lanes, layout)
     if signed_input:
         x_lanes = bo.reduce_signed64(x_lanes, bo.u64_const(plan.q))
-    if plan.logn <= 25:
-        # composed single program (r4): 8.50/8.35 ms at 2^24 vs the
-        # staged chain's 10.1/10.8 — and jittable.  26-28 keep the
-        # staged multi-program route (their rows recurse into nested
-        # large plans; the composed form is untested at that depth).
-        y = pallas_mxu_large_jit(x_lanes, mp, inverse=inverse)
-    else:
-        y = staged_mxu_large_u64(x_lanes, mp, inverse=inverse)
+    # composed single program for the WHOLE big-N range (r4): with the
+    # plan as a pytree jit argument it compiles and beats the staged
+    # chain at every size — 8.28/8.58 ms at 2^24 (-18%), 50.8 ms fwd
+    # at 2^26 (-41%), 192/205 ms at 2^28 (-7/-5%), all roundtrip
+    # bit-exact on chip (chiplog/r4_composed*.out)
+    y = pallas_mxu_large_jit(x_lanes, mp, inverse=inverse)
     if signed_output:
         y = bo.centered64(y, bo.u64_const(plan.q))
     return _apply_layout_out(y, layout)
@@ -398,29 +395,22 @@ def staged_polymul_lanes(a_lanes, b_lanes, plan: MergePlan):
         return None
     from .pallas_mxu import MXUMergePlan
     from .pallas_mxu_large import (mxu_large_plan, pallas_mxu_large_jit,
-                                   pallas_mxu_large_polymul_inv_jit,
-                                   staged_mxu_large_polymul,
-                                   staged_mxu_large_u64)
+                                   pallas_mxu_large_polymul_inv_jit)
 
     try:
         mp = mxu_large_plan(plan.params)
     except ValueError:
         return None  # garbage-in factors: XLA engine parity path
-    if plan.logn <= 25 and isinstance(mp.row_plan, MXUMergePlan):
-        # composed route (r4): two single-program forwards + the fused
-        # product+inverse as one program — 3 compiled programs instead
-        # of the staged chain's 5
-        fa = pallas_mxu_large_jit(a_lanes, mp)
-        fb = pallas_mxu_large_jit(b_lanes, mp)
+    fa = pallas_mxu_large_jit(a_lanes, mp)
+    fb = pallas_mxu_large_jit(b_lanes, mp)
+    if isinstance(mp.row_plan, MXUMergePlan):
+        # fused product+row-inverse as one program (merge 24-25): three
+        # compiled programs total — 28.7 ms at 2^24, 16% under the
+        # unfused chain (r4_composed_more.out)
         return pallas_mxu_large_polymul_inv_jit(fa, fb, mp)
-    try:
-        return staged_mxu_large_polymul(a_lanes, b_lanes, mp)
-    except ValueError:
-        pass  # recursive rows (logn >= 26): unfused staged chain
-    fa = staged_mxu_large_u64(a_lanes, mp)
-    fb = staged_mxu_large_u64(b_lanes, mp)
+    # recursive rows (logn >= 26): unfused composed chain
     prod = _pointwise_jit(fa, fb, plan)
-    return staged_mxu_large_u64(prod, mp, inverse=True)
+    return pallas_mxu_large_jit(prod, mp, inverse=True)
 
 
 # ------------------------------------------------------ numpy convenience

@@ -194,19 +194,18 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     batch = int(np.prod(lead)) if lead else 1
     if plan.is64:
         if eager:
-            # cached module-level jits (plan is a pytree argument):
-            # staged two-program route at logn 24, composed single
-            # program below — either way no per-call re-lowering
-            fn = (m4.staged_fourstep_mxu_lanes if plan.logn >= 24
-                  else m4.fourstep_mxu_jit)
+            # cached module-level jit, plan as pytree argument — ONE
+            # composed program at every size incl. 24 (r4: composed
+            # 7.90/7.77 ms vs staged 9.90/9.94 at 2^24, bit-equal —
+            # chiplog/r4_composed26.out, r4_fourstep24_composed.out)
+            fn = m4.fourstep_mxu_jit
         else:
             fn = m4.fourstep_mxu_lanes
         x2 = U64(x.hi.reshape(batch, n), x.lo.reshape(batch, n))
         y = fn(x2, mplan, inverse=inverse)
         return U64(y.hi.reshape(lead + (n,)), y.lo.reshape(lead + (n,)))
     if eager:
-        fn32 = (m4.staged_fourstep32_mxu_lanes if plan.logn >= 24
-                else m4.fourstep32_mxu_jit)
+        fn32 = m4.fourstep32_mxu_jit
     else:
         fn32 = m4.fourstep32_mxu_lanes
     y = fn32(x.reshape(batch, n), mplan, inverse=inverse)

@@ -184,9 +184,9 @@ def test_fourstep_logn24_eager_gate(monkeypatch):
     monkeypatch.setattr(
         m4, "fourstep_mxu_lanes",
         lambda x2, mplan, inverse=False, interpret=False: x2)
-    # the eager >= 24 route goes through the STAGED two-program path
+    # eager takes the cached composed jit at every size (r4)
     monkeypatch.setattr(
-        m4, "staged_fourstep_mxu_lanes",
+        m4, "fourstep_mxu_jit",
         lambda x2, mplan, inverse=False, interpret=False: x2)
 
     plan = types.SimpleNamespace(params=object(), q=97, logn=24, is64=True)
