@@ -1,4 +1,4 @@
-"""Round-3 big-N chip drive: device-resident staged route, merge logn
+"""Big-N chip drive (r3 staged -> r4 composed route), merge logn
 24-28 + u32 24-25 + 4-step 24 — parity on chip, then MARGINAL timing
 (the round-2 numbers were eager wall-clock on a re-lowering route,
 10.6 s/NTT at merge 24; the reference's big-N plans are 3-4 launches at
@@ -32,10 +32,10 @@ def _merge_cell(logn: int, check_inverse: bool = True):
     from gpuntt_tpu import _native
     from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
     from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
-                                                 staged_mxu_large_u64)
+                                                 pallas_mxu_large_jit)
     from gpuntt_tpu.utils.timing import time_marginal_eager
 
-    log(f"merge 2^{logn} u64 batch 1 — staged device-resident route")
+    log(f"merge 2^{logn} u64 batch 1 — composed single-program route (r4)")
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     mp = mxu_large_plan(p)
     row = ("matmul" if mp.row_plan is None
@@ -46,7 +46,7 @@ def _merge_cell(logn: int, check_inverse: bool = True):
     lanes = to_lanes(x, True)
 
     t0 = time.perf_counter()
-    y = staged_mxu_large_u64(lanes, mp)
+    y = pallas_mxu_large_jit(lanes, mp)
     got = from_lanes(y, True)
     log(f"  fwd ran ({time.perf_counter() - t0:.1f}s incl compile)")
     exp = _native.ntt_merge(x[0], logn, p.forward_root_of_unity_table,
@@ -56,23 +56,23 @@ def _merge_cell(logn: int, check_inverse: bool = True):
 
     if check_inverse:
         t0 = time.perf_counter()
-        back = from_lanes(staged_mxu_large_u64(to_lanes(got, True), mp,
+        back = from_lanes(pallas_mxu_large_jit(to_lanes(got, True), mp,
                                                inverse=True), True)
         log(f"  inv ran ({time.perf_counter() - t0:.1f}s incl compile)")
         assert np.array_equal(back, x), f"merge{logn} inv mismatch"
         log("  inv PASS bit-exact (round trip)")
 
     iters = 1 if logn >= 27 else 3
-    fwd, nf = time_marginal_eager(lambda v: staged_mxu_large_u64(v, mp),
+    fwd, nf = time_marginal_eager(lambda v: pallas_mxu_large_jit(v, mp),
                                   lanes, iters=iters)
     inv, ni = time_marginal_eager(
-        lambda v: staged_mxu_large_u64(v, mp, inverse=True), lanes,
+        lambda v: pallas_mxu_large_jit(v, mp, inverse=True), lanes,
         iters=iters)
     rec = {"cell": f"merge{logn}", "dtype": "u64", "batch": 1,
            "fwd_ms_per_ntt": round(fwd * 1e3, 3),
            "inv_ms_per_ntt": round(inv * 1e3, 3),
            "noise_fwd": round(nf, 3), "noise_inv": round(ni, 3),
-           "timing": "eager-chain marginal, staged device-resident",
+           "timing": "eager-chain marginal, composed single program",
            "parity": "PASS"}
     print(json.dumps(rec), flush=True)
 
@@ -98,17 +98,17 @@ def merge28():
 
 
 def _u32_cell(logn: int):
-    """u32 big rings ride the staged MXU route (r3; the XLA butterfly
+    """u32 big rings ride the composed MXU route (r4; the XLA butterfly
     engine at 2^24 took >15 min of relay compile and is the fallback
     for off-pool moduli only).  Reference u32 pool reaches logn 25
     (nttparameters.cu:84-98)."""
     from gpuntt_tpu import NTTParameters, ReductionPolynomial
     from gpuntt_tpu import _native
     from gpuntt_tpu.ops.pallas_mxu32 import (mxu32_large_plan,
-                                             staged_mxu32_large)
+                                             pallas_mxu32_large_jit)
     from gpuntt_tpu.utils.timing import time_marginal_eager
 
-    log(f"merge 2^{logn} u32 batch 1 — staged device-resident route")
+    log(f"merge 2^{logn} u32 batch 1 — composed single-program route")
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint32)
     mp = mxu32_large_plan(p)
     log(f"  plan: A={mp.A} B={mp.B} tile={mp.tile}/{mp.tile_inv}")
@@ -117,7 +117,7 @@ def _u32_cell(logn: int):
                      dtype=np.uint64).astype(np.uint32)
 
     t0 = time.perf_counter()
-    got = np.asarray(staged_mxu32_large(x, mp))
+    got = np.asarray(pallas_mxu32_large_jit(x, mp))
     log(f"  fwd ran ({time.perf_counter() - t0:.1f}s incl compile)")
     exp = _native.ntt_merge(
         x[0].astype(np.uint64), logn,
@@ -126,7 +126,7 @@ def _u32_cell(logn: int):
     assert np.array_equal(got[0], exp), f"u32 merge{logn} fwd mismatch"
     log("  fwd PASS bit-exact (full native-oracle comparison)")
     t0 = time.perf_counter()
-    back = np.asarray(staged_mxu32_large(got, mp, inverse=True))
+    back = np.asarray(pallas_mxu32_large_jit(got, mp, inverse=True))
     log(f"  inv ran ({time.perf_counter() - t0:.1f}s incl compile)")
     assert np.array_equal(back, x), f"u32 merge{logn} inv mismatch"
     log("  inv PASS bit-exact (round trip)")
@@ -138,14 +138,14 @@ def _u32_cell(logn: int):
     import jax.numpy as jnp
 
     xd = jnp.asarray(x)
-    fwd, nf = time_marginal_eager(lambda v: staged_mxu32_large(v, mp), xd)
+    fwd, nf = time_marginal_eager(lambda v: pallas_mxu32_large_jit(v, mp), xd)
     inv, ni = time_marginal_eager(
-        lambda v: staged_mxu32_large(v, mp, inverse=True), xd)
+        lambda v: pallas_mxu32_large_jit(v, mp, inverse=True), xd)
     rec = {"cell": f"u32merge{logn}", "dtype": "u32", "batch": 1,
            "fwd_ms_per_ntt": round(fwd * 1e3, 3),
            "inv_ms_per_ntt": round(inv * 1e3, 3),
            "noise_fwd": round(nf, 3), "noise_inv": round(ni, 3),
-           "timing": "eager-chain marginal, staged device-resident",
+           "timing": "eager-chain marginal, composed single program",
            "parity": "PASS"}
     print(json.dumps(rec), flush=True)
 
@@ -165,7 +165,7 @@ def fourstep24():
     from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
     from gpuntt_tpu.utils.timing import time_marginal_eager
 
-    log("4-step 2^24 u64 batch 1 — staged device-resident route")
+    log("4-step 2^24 u64 batch 1 — composed single-program route (r4)")
     p = NTTParameters4Step(24, ReductionPolynomial.X_N_minus,
                            dtype=np.uint64)
     plan = FourStepPlan.from_params(p)
@@ -190,27 +190,28 @@ def fourstep24():
            "fwd_ms_per_ntt": round(fwd * 1e3, 3),
            "inv_ms_per_ntt": round(inv * 1e3, 3),
            "noise_fwd": round(nf, 3), "noise_inv": round(ni, 3),
-           "timing": "eager-chain marginal, staged device-resident (core, "
-                     "caller-side transposes excluded as in the reference "
-                     "bench)"}
+           "timing": "eager-chain marginal, composed single program "
+                     "(core, caller-side transposes excluded as in the "
+                     "reference bench)"}
     print(json.dumps(rec), flush=True)
 
 
 def polymul24():
-    """Flagship end-to-end workload at the big-N scale: staged polymul
-    (product fused into the row-inverse program) vs the unfused staged
-    chain — bit-exactness of the fusion plus both timings."""
+    """Flagship end-to-end workload at the big-N scale: composed polymul
+    (two composed forwards + the fused product+row-inverse program, r4)
+    vs the unfused composed chain — bit-exactness of the fusion plus
+    both timings."""
     import jax
 
     from gpuntt_tpu import NTTParameters, ReductionPolynomial
     from gpuntt_tpu.ops.dispatch import _pointwise_jit
     from gpuntt_tpu.ops.merge_ntt import MergePlan, from_lanes, to_lanes
-    from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
-                                                 staged_mxu_large_polymul,
-                                                 staged_mxu_large_u64)
+    from gpuntt_tpu.ops.pallas_mxu_large import (
+        mxu_large_plan, pallas_mxu_large_jit,
+        pallas_mxu_large_polymul_inv_jit)
     from gpuntt_tpu.utils.timing import fetch_one, time_marginal_eager
 
-    log("polymul 2^24 u64 batch 1 — staged fused vs unfused")
+    log("polymul 2^24 u64 batch 1 — composed fused vs unfused (r4)")
     p = NTTParameters(24, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     plan = MergePlan.from_params(p)
     mp = mxu_large_plan(p)
@@ -219,14 +220,19 @@ def polymul24():
     b = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64)
     la, lb = to_lanes(a, True), to_lanes(b, True)
 
+    def fused(u, v):
+        fa = pallas_mxu_large_jit(u, mp)
+        fb = pallas_mxu_large_jit(v, mp)
+        return pallas_mxu_large_polymul_inv_jit(fa, fb, mp)
+
     def unfused(u, v):
-        fa = staged_mxu_large_u64(u, mp)
-        fb = staged_mxu_large_u64(v, mp)
-        return staged_mxu_large_u64(_pointwise_jit(fa, fb, plan), mp,
+        fa = pallas_mxu_large_jit(u, mp)
+        fb = pallas_mxu_large_jit(v, mp)
+        return pallas_mxu_large_jit(_pointwise_jit(fa, fb, plan), mp,
                                     inverse=True)
 
     t0 = time.perf_counter()
-    got_f = from_lanes(staged_mxu_large_polymul(la, lb, mp), True)
+    got_f = from_lanes(fused(la, lb), True)
     log(f"  fused ran ({time.perf_counter() - t0:.1f}s incl compile)")
     t0 = time.perf_counter()
     got_u = from_lanes(unfused(la, lb), True)
@@ -235,12 +241,12 @@ def polymul24():
     log("  fused == unfused PASS bit-exact")
 
     tf, nf = time_marginal_eager(
-        lambda u: staged_mxu_large_polymul(u, lb, mp), la, iters=2)
+        lambda u: fused(u, lb), la, iters=2)
     tu, nu = time_marginal_eager(lambda u: unfused(u, lb), la, iters=2)
     rec = {"cell": "polymul24", "dtype": "u64", "batch": 1,
            "fused_ms": round(tf * 1e3, 3), "unfused_ms": round(tu * 1e3, 3),
            "noise_fused": round(nf, 3), "noise_unfused": round(nu, 3),
-           "timing": "eager-chain marginal, staged device-resident",
+           "timing": "eager-chain marginal, composed single program",
            "parity": "PASS (fused == unfused)"}
     print(json.dumps(rec), flush=True)
 
