@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .timing import time_marginal
+from .timing import time_marginal  # noqa: F401  (public re-export)
 
 
 @contextlib.contextmanager
@@ -58,14 +58,24 @@ def ntt_cost(logn: int, batch: int, is64: bool) -> NTTCost:
     )
 
 
-def measure_vpu_modmul_peak(q: int, is64: bool = True, depth: int = 16,
-                            elems=(64, 65536)) -> float:
-    """Measured peak Shoup-modmul rate on the vector lanes (ops/sec)."""
+def measure_vpu_modmul_peak(q: int, is64: bool = True, depth: int | None = None,
+                            elems=None) -> float:
+    """Measured peak Shoup-modmul rate on the vector lanes (ops/sec).
+
+    The u32 modmul is ~6 lane-ops, so at the u64 probe's footprint one
+    application is ~0.1 ms and the measured "peak" swung 3.6x between
+    r4 bench runs; the 32-bit probe gets a 16x bigger window (depth 64
+    over 4x the elements) so each chained application spans several ms
+    of real VPU work."""
     import jax.numpy as jnp
 
     from ..ops import barrett as bo
     from ..ops.limb import U64
 
+    if depth is None:
+        depth = 16 if is64 else 64
+    if elems is None:
+        elems = (64, 65536) if is64 else (256, 65536)
     rng = np.random.default_rng(0)
     w = int(rng.integers(1, q))
     xp = rng.integers(0, q, size=elems, dtype=np.uint64)
@@ -91,5 +101,11 @@ def measure_vpu_modmul_peak(q: int, is64: bool = True, depth: int = 16,
                 v = bo.shoup_mul32(v, jnp.uint32(w), jnp.uint32(ws), q)
             return v
 
-    dt = time_marginal(k, x)
+    # escalating spread, not the bare k=1/4 marginal: the u32 probe
+    # kernel is ~6 lane-ops deep and its plain marginal swung 2x
+    # between r4 bench runs (2.24e11 vs 1.12e11) — the relay dispatch
+    # jitter needs averaging down before a "peak" is trustworthy
+    from .timing import time_marginal_spread
+
+    dt, _noise = time_marginal_spread(k, x)
     return depth * int(np.prod(elems)) / dt
