@@ -327,6 +327,106 @@ def drive_shardmap_large():
     return _drive_shardmap_ring(24, 1, (128, 1 << 17), "large-engine")
 
 
+def _drive_userjit(logn, dtype, batch=1, want_path=None, golden=True):
+    """The killed jit cliff (VERDICT r4 item 1): ntt_lanes/intt_lanes
+    composed inside a USER jax.jit, with the MergePlan passed as a jit
+    ARGUMENT, must route to the composed MXU program at EVERY size the
+    reference supports — the engine tables ride as runtime buffers via
+    plan.engines (MergePlan.resolved), so the compile payload stays
+    small at logn 24+ where inline tables would be tens of MB.
+    Reference bar: GPU_NTT composes into any stream/graph at every
+    size (ntt.cu:2076-2256)."""
+    import jax
+
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial, _native
+    from gpuntt_tpu.ops.dispatch import (NTTLayout, _kernel_path, intt_lanes,
+                                         ntt_lanes)
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, from_lanes, to_lanes
+
+    is64 = np.dtype(dtype) == np.uint64
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=dtype)
+    q = p.modulus.value
+    plan = MergePlan.from_params(p)
+    if not INTERPRET:
+        path = _kernel_path(plan, (batch, p.n), NTTLayout.PerPolynomial)
+        if path != want_path:
+            return False, f"dispatch routed to {path!r}, expected {want_path!r}"
+        if not plan.engines or want_path not in plan.engines:
+            return False, f"plan.engines missing {want_path!r}: {plan.engines}"
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, q, size=(batch, p.n), dtype=np.uint64).astype(dtype)
+
+    # the user's own jit — plan as ARGUMENT (tables as runtime buffers)
+    fwd = jax.jit(lambda v, pl: ntt_lanes(v, pl))
+    inv = jax.jit(lambda v, pl: intt_lanes(v, pl))
+    got = from_lanes(fwd(to_lanes(x, is64), plan), is64)
+    ok = True
+    detail = f"2^{logn} x{batch} {np.dtype(dtype).name}"
+    if golden and _native.available():
+        exp = _native.ntt_merge(x.astype(np.uint64), p.logn,
+                                p.forward_root_of_unity_table.astype(
+                                    np.uint64), q, True)
+        ok = np.array_equal(got.astype(np.uint64), exp)
+        detail += ", golden fwd"
+    back = from_lanes(inv(to_lanes(got, is64), plan), is64)
+    ok = ok and np.array_equal(back, x)
+    return ok, detail + ", roundtrip, inside USER jit, plan as jit arg"
+
+
+def drive_userjit_24():
+    if INTERPRET:
+        # CPU smoke: engines attach via resolved(); dispatch falls to
+        # the XLA engine off-TPU (route decision itself is meta-only
+        # and pinned in test_dispatch_routing)
+        return _drive_userjit(14, np.uint64)
+    return _drive_userjit(24, np.uint64, want_path="mxu-large")
+
+
+def drive_userjit_u32_25():
+    if INTERPRET:
+        return _drive_userjit(13, np.uint32)
+    return _drive_userjit(25, np.uint32, want_path="mxu32-large")
+
+
+def drive_userjit_polymul_24(logn=24):
+    """polymul_lanes at a big ring inside a USER jit: TWO composed
+    forwards + the fused product+row-inverse + inverse column — the
+    largest single composed program in the tree (~3x the transform
+    program).  The library-user shape: polynomial multiplication as one
+    building block inside their own pipeline."""
+    import jax
+
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial
+    from gpuntt_tpu.ops.dispatch import polymul_lanes
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, from_lanes, to_lanes
+    from gpuntt_tpu.reference.schoolbook import schoolbook_poly_multiplication
+
+    if INTERPRET:
+        logn = 12
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    q = p.modulus.value
+    plan = MergePlan.from_params(p)
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    b = rng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    fn = jax.jit(lambda va, vb, pl: polymul_lanes(va, vb, pl))
+    got = from_lanes(fn(to_lanes(a, True), to_lanes(b, True), plan), True)
+    if INTERPRET or logn <= 14:
+        exp = schoolbook_poly_multiplication(a[0], b[0], p.modulus,
+                                             ReductionPolynomial.X_N_plus)
+        ok = np.array_equal(got[0], exp)
+        par = "schoolbook parity"
+    else:
+        # schoolbook at 2^24 is O(n^2)-infeasible; cross-check against
+        # the eager big-N route (itself chip golden-verified, r4)
+        from gpuntt_tpu.ops.dispatch import staged_polymul_lanes
+
+        ref = staged_polymul_lanes(to_lanes(a, True), to_lanes(b, True), plan)
+        ok = np.array_equal(got, from_lanes(ref, True))
+        par = "parity vs eager big-N route"
+    return ok, f"2^{logn} u64 negacyclic polymul inside USER jit, {par}"
+
+
 ROUTES = {
     "u32-rns-kernel": drive_u32_rns,
     "u32-mxu": drive_u32_mxu,
@@ -337,6 +437,9 @@ ROUTES = {
     "shardmap-4step": drive_shardmap_4step,
     "shardmap-24": drive_shardmap_24,
     "shardmap-large": drive_shardmap_large,
+    "userjit-24": drive_userjit_24,
+    "userjit-u32-25": drive_userjit_u32_25,
+    "userjit-polymul-24": drive_userjit_polymul_24,
 }
 
 

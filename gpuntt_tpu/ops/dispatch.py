@@ -82,11 +82,13 @@ def _kernel_path(plan: MergePlan, x_shape, layout,
                 return "mxu"
             if plan.logn == 17:
                 return "mxu-large"
-            # logn 24-28 exceeds what the compiler handles as one
-            # composed col+row program; inside a trace it stays on the
-            # XLA engine, but the numpy entry points run the staged
-            # multi-program MXU route (_staged_route) instead
-            if 18 <= plan.logn <= 23:
+            # the WHOLE big-N range 18-28 runs as one composed col+row
+            # jitted program (r4: plans as pytree jit arguments killed
+            # the closure-constant compile failures; the pre-r4 "the
+            # compiler cannot handle composed big-N programs" doctrine
+            # was a misdiagnosis) — inside a user trace the tables ride
+            # as runtime buffers via MergePlan.engines (r5)
+            if 18 <= plan.logn <= 28:
                 return "mxu-large"
         return None
     n = x_shape[-1]
@@ -98,46 +100,16 @@ def _kernel_path(plan: MergePlan, x_shape, layout,
     # (22.11M at 2^17 / 46.37M at 2^18 vs the 16M v5e limit, named
     # per-program errors in benchmarks/u32vpu_diag.py, r3 — interpret
     # mode never sees it).  logn 17 fits VMEM as ONE MXU digit-matmul
-    # block; 18-23 ride the composed col+row large engine.
+    # block; 18-25 (the reference u32 pool ceiling,
+    # nttparameters.cu:84-98) ride the composed col+row large engine.
     if plan.logn == 17 and plan.q < (1 << 30):
         return "mxu32"
-    if plan.logn <= 23 and plan.q < (1 << 30):
+    if plan.logn <= 25 and plan.q < (1 << 30):
         return "mxu32-large"
     return None
 
 
 _MXU_PATHS = ("mxu", "mxu-large", "mxu32", "mxu32-large")
-
-_warned_staged_cliff = False
-
-
-def _warn_staged_cliff(plan: "MergePlan"):
-    """One-time warning for the staged-route jit cliff (VERDICT r3).
-
-    logn >= 24 transforms composed inside a USER jit cannot reach the
-    staged multi-program MXU route (it is inherently multi-dispatch) and
-    silently run the XLA butterfly engine — correct but ~1000x slower on
-    TPU (RESULTS_r2: 10.6 s/NTT vs RESULTS_r3: 10.1 ms at 2^24).  The
-    numpy entry points (ntt/intt/polymul) and staged_ntt_lanes take the
-    fast route; warn anyone tracing these sizes through
-    ntt_lanes/intt_lanes."""
-    global _warned_staged_cliff
-    if _warned_staged_cliff:
-        return
-    import jax as _jax
-
-    if (_jax.default_backend() == "tpu" and plan.params is not None
-            and 24 <= plan.logn <= 28):
-        import warnings
-
-        warnings.warn(
-            f"logn={plan.logn} inside jit falls back to the XLA butterfly "
-            "engine (~1000x slower than the staged MXU route on TPU). "
-            "Call the numpy entry points (gpuntt_tpu.ntt/intt/polymul) or "
-            "staged_ntt_lanes/staged_polymul_lanes from eager code for "
-            "device-resident multi-program execution at these ring sizes.",
-            stacklevel=3)
-        _warned_staged_cliff = True
 
 
 def _explicit_path(plan: MergePlan, inverse: bool = False) -> str:
@@ -154,9 +126,14 @@ def _explicit_path(plan: MergePlan, inverse: bool = False) -> str:
 
 
 def _resolve_mxu(path, plan: MergePlan):
-    """Build the plan for an MXU path, falling back to the XLA engine
-    for non-root caller-supplied factors (the reference's
-    garbage-in/garbage-out tables have no matrix factorization)."""
+    """Resolve an MXU path to (path, engine plan, kernel fn).
+
+    Prefers the engine plan attached to the MergePlan pytree
+    (plan.engines — runtime buffers when the MergePlan itself is a jit
+    argument); otherwise builds it from the host params (cached there).
+    Falls back to the XLA engine for non-root caller-supplied factors
+    (the reference's garbage-in/garbage-out tables have no matrix
+    factorization)."""
     if path not in _MXU_PATHS:
         return path, None, None
     if path == "mxu":
@@ -171,6 +148,9 @@ def _resolve_mxu(path, plan: MergePlan):
     else:
         from .pallas_mxu32 import mxu32_large_plan as mk
         from .pallas_mxu32 import pallas_mxu32_large as fn
+    eng = getattr(plan, "engines", None)
+    if eng and path in eng:
+        return path, eng[path], fn
     try:
         return path, mk(plan.params), fn
     except ValueError:
@@ -214,11 +194,13 @@ def ntt_lanes(
     kernel family for this, ntt.cu:1554-2075; on TPU the relayout is
     one XLA transpose — measured at parity in benchmarks/sweep.py).
 
-    JIT CLIFF at logn >= 24: the staged big-N MXU route is
-    multi-dispatch and unreachable from inside a trace, so this
-    function falls back to the XLA butterfly engine there (~1000x
-    slower on TPU; a one-time UserWarning fires).  Prefer ntt()/
-    staged_ntt_lanes() from eager code at those sizes."""
+    Composes into user jits at EVERY size the reference supports
+    (GPU_NTT composes into any stream/graph, ntt.cu:2076-2256): at
+    logn >= 18 the transform is one composed MXU program whose tables
+    ride as runtime buffers when the MergePlan is a jit ARGUMENT
+    (from_params attaches them on TPU — see MergePlan.resolved).  A
+    closure-captured plan still works but inlines its tables into the
+    HLO; pass the plan as an argument."""
     if signed_input:
         if plan.is64:
             x = bo.reduce_signed64(x, bo.u64_const(plan.q))
@@ -231,8 +213,6 @@ def ntt_lanes(
     elif use_pallas is True:
         use_pallas = _explicit_path(plan)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
-    if not use_pallas:
-        _warn_staged_cliff(plan)
     if use_pallas in _MXU_PATHS:
         y = _mxu_fn(x, _mp)
     elif use_pallas:
@@ -260,9 +240,8 @@ def intt_lanes(
     """Inverse NTT on the lane representation (jittable building block).
 
     Layout semantics as ntt_lanes: PerCoefficient relayouts before
-    kernel-path selection.  Same logn >= 24 jit cliff as ntt_lanes —
-    prefer intt()/staged_ntt_lanes(inverse=True) from eager code at the
-    staged sizes."""
+    kernel-path selection.  Composes into user jits at every size like
+    ntt_lanes (pass the plan as a jit argument)."""
     x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
     if use_pallas == "auto":
@@ -271,8 +250,6 @@ def intt_lanes(
     elif use_pallas is True:
         use_pallas = _explicit_path(plan, inverse=True)
     use_pallas, _mp, _mxu_fn = _resolve_mxu(use_pallas, plan)
-    if not use_pallas:
-        _warn_staged_cliff(plan)
     if use_pallas in _MXU_PATHS:
         y = _mxu_fn(x, _mp, inverse=True)
     elif use_pallas:
@@ -437,9 +414,9 @@ def ntt(x, plan: MergePlan, cfg: NTTConfig | None = None, **kw):
 
     Accepts uint32/uint64 (or int32/int64 with signed_input semantics,
     matching the Data32s/Data64s instantiations).  At logn 24-28 on TPU
-    this entry runs the staged multi-program MXU route (ms-scale) —
-    composing the transform inside your own jit instead falls back to
-    the XLA engine, ~1000x slower (see ntt_lanes docstring).
+    this entry runs the composed single-program MXU route (ms-scale);
+    to compose the transform inside your own jit use ntt_lanes with the
+    plan passed as a jit ARGUMENT (see its docstring).
     """
     layout = kw.pop("layout", cfg.ntt_layout if cfg else NTTLayout.PerPolynomial)
     signed_input = kw.pop("signed_input", False)
@@ -760,8 +737,9 @@ def polymul(x, y, plan: MergePlan):
     intt) as one fused jitted computation; bit-exact vs
     schoolbook_poly_multiplication for the plan's reduction polynomial.
 
-    logn 24-28 on TPU composes the staged eager big-N routes instead
-    (one jitted program at those sizes overwhelms the compiler)."""
+    logn 24-28 on TPU runs the big-N route (staged_polymul_lanes):
+    composed forward programs per input, then (merge 24-25) the
+    pointwise product fused into the row-inverse program."""
     x = np.asarray(x)
     y = np.asarray(y)
     if plan.logn >= 24:

@@ -50,6 +50,83 @@ def _take_pair(x, idx):
 # ------------------------------------------------------------------ plan
 
 
+def _bigring_engine_path(p: NTTParameters) -> str | None:
+    """The MXU large-ring engine path covering this parameter set at
+    logn >= 18 in BOTH directions, or None (wide/garbage-in moduli and
+    small rings need the butterfly tables)."""
+    is64 = p.dtype == np.uint64
+    q = p.modulus.value
+    if is64:
+        if not (18 <= p.logn <= 28 and q < (1 << 62)):
+            return None
+        path = "mxu-large"
+    else:
+        if not (18 <= p.logn <= 25 and q < (1 << 30)):
+            return None
+        path = "mxu32-large"
+    order = 2 * p.n if p.poly_reduction == ReductionPolynomial.X_N_plus else p.n
+    root, iroot = p.root_of_unity, p.inverse_root_of_unity
+    if pow(root, order, q) != 1 or (root * iroot) % q != 1:
+        return None  # non-root caller factors: butterfly engines only
+    return path
+
+
+def _tpu_engines(p: NTTParameters) -> dict:
+    """Device-resident MXU engine plans for this parameter set, keyed by
+    dispatch path name ({} when no MXU path covers it).  Builders are
+    cached on the params object, so this shares plans with the eager
+    dispatch route."""
+    is64 = p.dtype == np.uint64
+    q = p.modulus.value
+    out = {}
+    try:
+        if is64 and q < (1 << 62):
+            if 12 <= p.logn <= 17:
+                from .pallas_mxu import mxu_plan
+
+                out["mxu"] = mxu_plan(p)
+            if 17 <= p.logn <= 28:
+                from .pallas_mxu_large import mxu_large_plan
+
+                out["mxu-large"] = mxu_large_plan(p)
+        elif not is64 and q < (1 << 30):
+            if p.logn == 17:
+                from .pallas_mxu32 import mxu32_plan
+
+                out["mxu32"] = mxu32_plan(p)
+            elif 18 <= p.logn <= 25:
+                from .pallas_mxu32 import mxu32_large_plan
+
+                out["mxu32-large"] = mxu32_large_plan(p)
+    except ValueError:
+        # non-root caller factors: the butterfly engines own this plan
+        return {}
+    return out
+
+
+def _butterfly_tables(p: NTTParameters):
+    """Bit-reversed twiddle tables + Shoup companions in lane
+    representation, built once and cached on the parameter object (they
+    are 4 x N words — 100s of MB at the big-ring sizes)."""
+    tabs = getattr(p, "_merge_tables_cache", None)
+    if tabs is not None:
+        return tabs
+    q = p.modulus.value
+    fwd = bitrev_permute(p.forward_root_of_unity_table)
+    inv = bitrev_permute(p.inverse_root_of_unity_table)
+    is64 = p.dtype == np.uint64
+    word = 64 if is64 else 32
+    fwd_sh = bo.shoup_companion(fwd, q, word)
+    inv_sh = bo.shoup_companion(inv, q, word)
+    if is64:
+        rep = lambda a: u64_from_numpy(np.asarray(a, dtype=np.uint64))
+    else:
+        rep = lambda a: jnp.asarray(np.asarray(a, dtype=np.uint32))
+    tabs = (rep(fwd), rep(fwd_sh), rep(inv), rep(inv_sh))
+    p._merge_tables_cache = tabs
+    return tabs
+
+
 @dataclass(frozen=True)
 class MergePlan:
     """Device-side transform plan: bit-reversed twiddles (+ Shoup
@@ -59,6 +136,13 @@ class MergePlan:
     (test_merge_ntt.cu:107-134) plus the kernel-plan table role of
     CreateForward/InverseNTTKernel (ntt.cuh:606-797) — except the
     "plan" degenerates to static stage slices.
+
+    At logn >= 18 on a TPU backend the butterfly tables are SKIPPED
+    (None): dispatch routes those sizes to the MXU large-ring engines
+    both directions, which are exponent algebra over the root and never
+    read the 2^n-entry tables — eagerly materializing them cost 66 s
+    and gigabytes at logn 28 per process (RESULTS_r5).  `with_tables()`
+    restores them for the butterfly engines.
     """
 
     logn: int
@@ -75,24 +159,44 @@ class MergePlan:
     n_inv_rep: Any  # scalar lane rep of n_inv
     n_inv_shoup: Any
     params: Any = None  # originating NTTParameters (for kernel-plan builds)
+    # MXU engine plans as pytree DATA ({path: plan}), attached by
+    # resolved() (automatic on a TPU backend): when the MergePlan rides
+    # through a user's jax.jit as an ARGUMENT, the engine tables enter
+    # the compiled program as runtime buffers — this is what makes
+    # ntt_lanes/intt_lanes route to the composed MXU programs inside
+    # user traces at EVERY size, incl. logn 24-28 where inline-constant
+    # tables are tens of MB (the pre-r5 "jit cliff").  Closure-captured
+    # plans still inline; pass the plan as a jit argument.
+    engines: Any = None
 
     @staticmethod
-    def from_params(p: NTTParameters) -> "MergePlan":
+    def from_params(p: NTTParameters,
+                    tables: bool | str = "auto") -> "MergePlan":
+        """Build the transform plan.
+
+        tables="auto" skips the butterfly twiddle tables when a TPU
+        backend will route every transform of this size to the MXU
+        large-ring engines (see class docstring); True forces them,
+        False skips them unconditionally.  On a TPU backend the MXU
+        engine plans are attached as pytree data (see `engines`)."""
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() == "tpu"
         q = p.modulus.value
-        fwd = bitrev_permute(p.forward_root_of_unity_table)
-        inv = bitrev_permute(p.inverse_root_of_unity_table)
         is64 = p.dtype == np.uint64
+        if tables == "auto":
+            tables = not (on_tpu and _bigring_engine_path(p) is not None)
+        if tables:
+            fwd_t, fwd_s, inv_t, inv_s = _butterfly_tables(p)
+        else:
+            fwd_t = fwd_s = inv_t = inv_s = None
         word = 64 if is64 else 32
-        fwd_sh = bo.shoup_companion(fwd, q, word)
-        inv_sh = bo.shoup_companion(inv, q, word)
         ninv_sh = (p.n_inv << word) // q
         if is64:
-            rep = lambda a: u64_from_numpy(np.asarray(a, dtype=np.uint64))
             scal = lambda v: bo.u64_const(int(v))
         else:
-            rep = lambda a: jnp.asarray(np.asarray(a, dtype=np.uint32))
             scal = lambda v: jnp.uint32(int(v))
-        return MergePlan(
+        plan = MergePlan(
             logn=p.logn,
             q=q,
             bit=p.modulus.bit,
@@ -100,14 +204,44 @@ class MergePlan:
             n_inv=p.n_inv,
             reduction_poly=p.poly_reduction,
             is64=is64,
-            fwd_table=rep(fwd),
-            fwd_shoup=rep(fwd_sh),
-            inv_table=rep(inv),
-            inv_shoup=rep(inv_sh),
+            fwd_table=fwd_t,
+            fwd_shoup=fwd_s,
+            inv_table=inv_t,
+            inv_shoup=inv_s,
             n_inv_rep=scal(p.n_inv),
             n_inv_shoup=scal(ninv_sh),
             params=p,
         )
+        return plan.resolved() if on_tpu else plan
+
+    def resolved(self) -> "MergePlan":
+        """This plan with its MXU engine plans attached as pytree data
+        (no-op when already attached, no params, or no MXU coverage).
+        Pass the resolved plan through your jax.jit as an ARGUMENT and
+        ntt_lanes/intt_lanes/polymul_lanes inside the trace route to the
+        composed MXU programs with the tables as runtime buffers —
+        required at logn >= 24, where inline tables exceed compile
+        payload limits.  from_params does this automatically on TPU."""
+        if self.engines is not None or self.params is None:
+            return self
+        eng = _tpu_engines(self.params)
+        if not eng:
+            return self
+        import dataclasses
+
+        return dataclasses.replace(self, engines=eng)
+
+    def with_tables(self) -> "MergePlan":
+        """This plan with the butterfly tables present (built/cached on
+        the params object) — for explicit XLA-engine use of a plan whose
+        tables were skipped at construction."""
+        if self.fwd_table is not None or self.params is None:
+            return self
+        import dataclasses
+
+        fwd_t, fwd_s, inv_t, inv_s = _butterfly_tables(self.params)
+        return dataclasses.replace(self, fwd_table=fwd_t, fwd_shoup=fwd_s,
+                                   inv_table=inv_t, inv_shoup=inv_s)
 
     def kernel_plan(self):
         """Lazily-built Pallas kernel plan (cached on the params object)."""
@@ -147,7 +281,7 @@ class MergePlan:
 jax.tree_util.register_dataclass(
     MergePlan,
     data_fields=["fwd_table", "fwd_shoup", "inv_table", "inv_shoup",
-                 "n_inv_rep", "n_inv_shoup"],
+                 "n_inv_rep", "n_inv_shoup", "engines"],
     meta_fields=["logn", "q", "bit", "mu", "n_inv", "reduction_poly",
                  "is64", "params"],
 )
@@ -214,6 +348,8 @@ def merge_ntt_lanes(x, plan: MergePlan):
 
     Matches GPU_NTT output element-for-element (ntt.cu:2076-2256).
     """
+    if plan.fwd_table is None:
+        plan = plan.with_tables()
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     return ct_stages(x, plan.fwd_table, plan.fwd_shoup, plan.ops(), plan.logn, xnp)
 
@@ -225,6 +361,8 @@ def merge_intt_lanes(x, plan: MergePlan, scale: bool = True):
     last-kernel placement (ntt.cu:1170-1192); `scale=False` gives the
     unscaled variant used when the caller owns cfg.mod_inverse.
     """
+    if plan.inv_table is None:
+        plan = plan.with_tables()
     ops = plan.ops()
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     x = gs_stages(x, plan.inv_table, plan.inv_shoup, ops, plan.logn, xnp)

@@ -452,8 +452,9 @@ pallas_mxu32_large_jit = functools.partial(
 
 def staged_mxu32_large(x, plan: "MXU32LargePlan", inverse: bool = False,
                        interpret: bool = False):
-    """Device-resident staged u32 merge NTT for logn 24-25; NOT
-    jittable as a whole (like staged_mxu_large_u64 — chain eagerly)."""
+    """Device-resident staged u32 merge NTT for logn 24-25 — utility/
+    test phase chain; dispatch runs the composed single program
+    (pallas_mxu32_large_jit, plan as pytree jit argument) instead."""
     if inverse:
         y = _row_phase32(x, plan, inverse=True, interpret=interpret)
         return _col_phase32(y, plan, inverse=True, interpret=interpret)

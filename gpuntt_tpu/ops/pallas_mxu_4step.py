@@ -302,10 +302,12 @@ def fourstep_mxu_lanes(x: U64, plan: FourStepMXUPlan, inverse: bool = False,
 # ------------------------------------------- staged big-N route (logn 24)
 #
 # Mirror of the merge staged route (pallas_mxu_large.staged_mxu_large_u64):
-# at logn 24 the composed col+row program overwhelms the compiler, so the
-# column and row phases run as separate CACHED module-level jits with the
-# plan as a pytree argument — one compile per (plan, batch), C++ cache
-# hits after, arrays resident on device between phases.
+# the column and row phases run as separate CACHED module-level jits with
+# the plan as a pytree argument — one compile per (plan, batch), C++ cache
+# hits after, arrays resident on device between phases.  (The pre-r4
+# "composed col+row overwhelms the compiler" ground for this split was
+# refuted for the merge engine — plans as pytree jit arguments compile
+# composed at every size; fourstep_mxu_jit is the composed twin here.)
 
 
 @functools.partial(jax.jit, static_argnames=("inverse", "interpret"))

@@ -118,22 +118,52 @@ class MXULargePlan:
             pow(p.n, q - 2, q), a_col=a_col, tile=tile)
 
     @staticmethod
+    def from_eval(q: int, logn: int, omega: int, iomega: int, psi: int,
+                  ipsi: int, n_inv: int, **kw) -> "MXULargePlan":
+        """Large-ring plan for the generalized evaluation transform
+
+            out[k] = sum_j x[j] * (psi * omega^bitrev(k, logn))^j  mod q
+
+        — the large-engine twin of MXUMergePlan.from_eval (which holds
+        one ring in VMEM and stops at 2^17).  Covers the twisted local
+        tails of a coefficient-sharded merge NTT at big rings (shard r
+        of sp computes exactly this with omega = root^sp and
+        psi = psi_full^(2 br(r) + 1); see parallel/merge_dist.py).  The
+        psi twist rides entirely in the COLUMN phase (e_a = psi *
+        omega^br(a) replaces omega^br(a) in the column matrix and the
+        factored W); the row transform stays the standard omega^A merge
+        NTT, so nested row plans and in-VMEM delegation are untouched.
+        Requires only omega^n == 1; psi may be any unit."""
+        if pow(omega, 1 << logn, q) != 1 or (omega * iomega) % q != 1 \
+                or (psi * ipsi) % q != 1:
+            raise ValueError("from_eval requires omega^n == 1 and exact "
+                             "inverses")
+        return MXULargePlan.from_spec(q, logn, omega, iomega, False,
+                                      n_inv, psi=psi, ipsi=ipsi, **kw)
+
+    @staticmethod
     def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
                   n_inv: int, a_col: int | None = None,
                   tile: int | None = None, max_row_logn: int = 16,
                   row_kwargs: dict | None = None,
-                  col_only: bool = False) -> "MXULargePlan":
+                  col_only: bool = False, psi: int = 1,
+                  ipsi: int = 1) -> "MXULargePlan":
         """Plan for a merge NTT given its field spec (`root` is omega
         for X_N_minus, psi for X_N_plus; `n_inv` is the total inverse
-        scaling, folded into the last-applied column matrix).
+        scaling, folded into the last-applied column matrix).  psi/ipsi
+        is the evaluation twist (X_N_minus form only — see from_eval).
 
         logn 18-23 composes one column kernel with in-VMEM rows; for
         logn 24-28 — the reference's big-N range with 3-4-launch plans
         (ntt.cuh:665-698, ForwardCore_ ntt.cu:2163-2224) — rows beyond
-        2^17 recurse into a nested MXULargePlan, and execution runs
-        phase-per-program (see pallas_mxu_large_u64's staged use)."""
+        2^17 recurse into a nested MXULargePlan; since r4 the whole
+        composition compiles as ONE program with the plan as a pytree
+        jit argument (pallas_mxu_large_jit)."""
         if q >= 1 << 62:
             raise ValueError("MXU path requires q < 2^62")
+        if psi != 1 and xnp:
+            raise ValueError("the psi twist uses the X_N_minus form "
+                             "(X_N_plus is the psi=root special case)")
         n = 1 << logn
         order = 2 * n if xnp else n
         if (pow(root, order, q) != 1 or (root * iroot) % q != 1):
@@ -179,10 +209,11 @@ class MXULargePlan:
             wi_base = [pow(ri, 2 * a + 1, q) for a in brA]
             row_root, row_iroot = pow(r, 2 * A, q), pow(ri, 2 * A, q)
         else:
-            m_base = [pow(r, B * a, q) for a in brA]
-            w_base = [pow(r, a, q) for a in brA]
-            mi_base = [pow(ri, B * a, q) for a in brA]
-            wi_base = [pow(ri, a, q) for a in brA]
+            # psi = 1 reduces e_a = psi * r^br(a) to the classic bases
+            w_base = [psi * pow(r, a, q) % q for a in brA]
+            m_base = [pow(e, B, q) for e in w_base]
+            wi_base = [ipsi * pow(ri, a, q) % q for a in brA]
+            mi_base = [pow(e, B, q) for e in wi_base]
             row_root, row_iroot = pow(r, A, q), pow(ri, A, q)
 
         mcol = _pow_matrix(np.array(m_base, dtype=object), q, A)
@@ -485,10 +516,14 @@ def pallas_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
                          interpret: bool = False) -> U64:
     """Forward/inverse merged NTT on (batch, N) u64 pairs, logn 18-28.
 
-    logn <= 23 composes into one program; at logn >= 24 the composed
-    col+row program overwhelms the compiler, so dispatch runs the
-    STAGED route instead (staged_mxu_large_u64): each phase its own
-    cached jitted program, mirroring the reference's multi-launch big-N
+    The WHOLE range composes into ONE program (r4): with the plan as a
+    pytree jit ARGUMENT the composed col+row program compiles at every
+    size 18-28 and beats the staged phase chain (8.28 ms at 2^24, -41%
+    fwd at 2^26 — chiplog/r4_composed*.out).  The pre-r4 belief that
+    "composed big-N programs overwhelm the compiler" was a misdiagnosis
+    of the closure-constant inline path (tables inlined into HLO).
+    Dispatch uses pallas_mxu_large_jit; staged_mxu_large_u64 remains as
+    utility/test code mirroring the reference's multi-launch big-N
     plans (ntt.cuh:665-698, ntt.cu:2163-2224)."""
     batch, n = x.hi.shape
     if inverse:
@@ -569,9 +604,10 @@ def staged_mxu_large_u64(x: U64, plan: MXULargePlan, inverse: bool = False,
                          interpret: bool = False) -> U64:
     """Device-resident staged merge NTT for logn 24-28: two cached
     jitted programs chained eagerly, arrays staying on device between
-    them.  NOT jittable as a whole (that composed program is what
-    overwhelms the compiler at these sizes) — call from eager code or
-    chain eagerly for timing (utils.timing.time_marginal_eager)."""
+    them.  Utility/test code since r4 — the composed single program
+    (pallas_mxu_large_jit with the plan as a pytree jit argument) is
+    faster at every size and is what dispatch runs; this phase chain
+    is kept for phase-by-phase diagnosis and timing."""
     if inverse:
         y = _row_phase(x, plan, inverse=True, interpret=interpret)
         return _col_phase(y, plan, inverse=True, interpret=interpret)

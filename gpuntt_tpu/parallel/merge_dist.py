@@ -48,6 +48,11 @@ from ..params.bitrev import bitreverse
 from ..params.merge import ReductionPolynomial
 
 MXU_LOCAL_MIN_LOGN = 12  # below this the XLA stages win (see RESULTS sweep)
+# local tails at/above this size take the LARGE-ring engine (the in-VMEM
+# u64 INVERSE kernel exceeds the 16M scoped-VMEM limit at 2^17 — same
+# boundary as single-chip dispatch); tails beyond MAX keep the XLA stages
+MXU_LOCAL_LARGE_MIN_LOGN = 17
+MXU_LOCAL_MAX_LOGN = 23
 
 
 def _tmap(f, *xs):
@@ -81,26 +86,50 @@ class MergeDistMXU:
     w_inv: Any
 
 
-def _build_merge_dist_mxu(plan: MergePlan, sp: int):
-    """Stacked from_eval plans for the sp local tails, or None when the
-    MXU route is ineligible (u32, big q, small local size, or
-    caller-supplied non-root tables — those keep the XLA stages,
-    matching the reference's garbage-in/garbage-out)."""
-    from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
+@dataclass(frozen=True)
+class MergeDistMXULarge:
+    """Large-engine twin of MergeDistMXU for local tails at 2^17-2^23:
+    a template MXULargePlan (shard 0) plus the rank-varying COLUMN-phase
+    tables stacked on (sp,) — the psi twist rides entirely in the column
+    phase (MXULargePlan.from_eval), so the row plan is shard-invariant."""
 
+    template: Any
+    col_fwd: Any
+    col_fwd_corr: Any
+    wt_fwd: Any      # tuple of 4 stacked (sp, A, T) uint32
+    ws_fwd: Any      # tuple of 4 stacked (sp, B//T, A, 1) uint32
+    col_inv: Any
+    col_inv_corr: Any
+    wt_inv: Any
+    ws_inv: Any
+
+
+# Registered pytrees: pass the resolved tails through a user jit as an
+# ARGUMENT (dist_merge_ntt(..., mxu=...)) and the stacked tables enter
+# the compiled program as runtime buffers — closure capture would inline
+# them into HLO (10s of MB at big rings: the relay payload trap).
+for _cls, _fields in (
+        (MergeDistMXU, ["template", "fwd_left", "fwd_left_corr", "w_fwd",
+                        "inv_left", "inv_left_corr", "w_inv"]),
+        (MergeDistMXULarge, ["template", "col_fwd", "col_fwd_corr",
+                             "wt_fwd", "ws_fwd", "col_inv", "col_inv_corr",
+                             "wt_inv", "ws_inv"]),
+):
+    jax.tree_util.register_dataclass(_cls, data_fields=_fields,
+                                     meta_fields=[])
+
+
+def _shard_twists(plan: MergePlan, sp: int):
+    """(omega, iomega, [(psi_r, ipsi_r)]) for the sp local tails, or
+    None for caller-supplied non-root tables."""
     p = plan.params
-    if p is None or not plan.is64 or plan.q >= (1 << 62):
-        return None
-    logsp = sp.bit_length() - 1
-    lognl = plan.logn - logsp
-    if lognl < MXU_LOCAL_MIN_LOGN or lognl > 17:
-        return None
     q = plan.q
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     r, ri = p.root_of_unity, p.inverse_root_of_unity
     order = (2 << plan.logn) if xnp else (1 << plan.logn)
     if pow(r, order, q) != 1 or r * ri % q != 1:
         return None
+    logsp = sp.bit_length() - 1
     if xnp:
         omega, iomega = pow(r, 2 * sp, q), pow(ri, 2 * sp, q)
         tw = [(pow(r, 2 * bitreverse(t, logsp) + 1, q),
@@ -109,28 +138,70 @@ def _build_merge_dist_mxu(plan: MergePlan, sp: int):
         omega, iomega = pow(r, sp, q), pow(ri, sp, q)
         tw = [(pow(r, bitreverse(t, logsp), q),
                pow(ri, bitreverse(t, logsp), q)) for t in range(sp)]
+    return omega, iomega, tw
+
+
+def _stack(plans, field):
+    return jax.device_put(
+        np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
+
+
+def _stack_tup(plans, field):
+    k = len(getattr(plans[0], field))
+    return tuple(
+        jax.device_put(
+            np.stack([np.asarray(getattr(pl_, field)[i]) for pl_ in plans]))
+        for i in range(k))
+
+
+def _build_merge_dist_mxu(plan: MergePlan, sp: int):
+    """Stacked from_eval plans for the sp local tails, or None when the
+    MXU route is ineligible (u32, big q, small/huge local size, or
+    caller-supplied non-root tables — those keep the XLA stages,
+    matching the reference's garbage-in/garbage-out).  Tails of
+    2^12-2^16 ride the in-VMEM engine; 2^17-2^23 the large-ring engine
+    (MXULargePlan.from_eval — the in-VMEM inverse exceeds scoped VMEM
+    at 2^17, same boundary as single-chip dispatch)."""
+    from ..ops.pallas_mxu import MXUMergePlan, plan_to_device
+
+    p = plan.params
+    if p is None or not plan.is64 or plan.q >= (1 << 62):
+        return None
+    logsp = sp.bit_length() - 1
+    lognl = plan.logn - logsp
+    if lognl < MXU_LOCAL_MIN_LOGN or lognl > MXU_LOCAL_MAX_LOGN:
+        return None
+    twists = _shard_twists(plan, sp)
+    if twists is None:
+        return None
+    omega, iomega, tw = twists
+    q = plan.q
+    if lognl >= MXU_LOCAL_LARGE_MIN_LOGN:
+        from ..ops.pallas_mxu_large import MXULargePlan
+
+        plans = [MXULargePlan.from_eval(q, lognl, omega, iomega, ps, ips, 1)
+                 for ps, ips in tw]
+        return MergeDistMXULarge(
+            template=plan_to_device(plans[0]),
+            col_fwd=_stack(plans, "col_fwd"),
+            col_fwd_corr=_stack(plans, "col_fwd_corr"),
+            wt_fwd=_stack_tup(plans, "wt_fwd"),
+            ws_fwd=_stack_tup(plans, "ws_fwd"),
+            col_inv=_stack(plans, "col_inv"),
+            col_inv_corr=_stack(plans, "col_inv_corr"),
+            wt_inv=_stack_tup(plans, "wt_inv"),
+            ws_inv=_stack_tup(plans, "ws_inv"),
+        )
     plans = [MXUMergePlan.from_eval(q, lognl, omega, iomega, ps, ips, 1)
              for ps, ips in tw]
-
-    def stack(field):
-        return jax.device_put(
-            np.stack([np.asarray(getattr(pl_, field)) for pl_ in plans]))
-
-    def stack_tup(field):
-        return tuple(
-            jax.device_put(
-                np.stack([np.asarray(getattr(pl_, field)[i])
-                          for pl_ in plans]))
-            for i in range(4))
-
     return MergeDistMXU(
         template=plan_to_device(plans[0]),
-        fwd_left=stack("fwd_left"),
-        fwd_left_corr=stack("fwd_left_corr"),
-        w_fwd=stack_tup("w_fwd"),
-        inv_left=stack("inv_left"),
-        inv_left_corr=stack("inv_left_corr"),
-        w_inv=stack_tup("w_inv"),
+        fwd_left=_stack(plans, "fwd_left"),
+        fwd_left_corr=_stack(plans, "fwd_left_corr"),
+        w_fwd=_stack_tup(plans, "w_fwd"),
+        inv_left=_stack(plans, "inv_left"),
+        inv_left_corr=_stack(plans, "inv_left_corr"),
+        w_inv=_stack_tup(plans, "w_inv"),
     )
 
 
@@ -149,13 +220,36 @@ def _merge_dist_mxu(plan: MergePlan, sp: int):
     return cache[key]
 
 
-def _local_tail_mxu(x, mxu: MergeDistMXU, rank, inverse: bool,
-                    interpret: bool):
-    """Shard-local transform as two digit matmuls, tables rank-gathered."""
-    from ..ops.pallas_mxu import pallas_mxu_u64
+def _local_tail_mxu(x, mxu, rank, inverse: bool, interpret: bool):
+    """Shard-local transform on the MXU engines, tables rank-gathered:
+    two digit matmuls in-VMEM (MergeDistMXU) or the composed large-ring
+    col+row program (MergeDistMXULarge) at 2^17-2^23 tails."""
 
     def idx(a):
         return jax.lax.dynamic_index_in_dim(a, rank, 0, keepdims=False)
+
+    if isinstance(mxu, MergeDistMXULarge):
+        from ..ops.pallas_mxu_large import pallas_mxu_large_u64
+
+        if inverse:
+            sub = dataclasses.replace(
+                mxu.template,
+                col_inv=idx(mxu.col_inv),
+                col_inv_corr=idx(mxu.col_inv_corr),
+                wt_inv=tuple(idx(a) for a in mxu.wt_inv),
+                ws_inv=tuple(idx(a) for a in mxu.ws_inv),
+            )
+        else:
+            sub = dataclasses.replace(
+                mxu.template,
+                col_fwd=idx(mxu.col_fwd),
+                col_fwd_corr=idx(mxu.col_fwd_corr),
+                wt_fwd=tuple(idx(a) for a in mxu.wt_fwd),
+                ws_fwd=tuple(idx(a) for a in mxu.ws_fwd),
+            )
+        return pallas_mxu_large_u64(x, sub, inverse=inverse,
+                                    interpret=interpret)
+    from ..ops.pallas_mxu import pallas_mxu_u64
 
     if inverse:
         sub = dataclasses.replace(
@@ -303,16 +397,31 @@ def _resolve_mxu(plan: MergePlan, sp: int, local_engine):
     return None
 
 
+def merge_dist_mxu(plan: MergePlan, sp: int):
+    """Resolve (and cache) the stacked MXU local-tail plans for this
+    (plan, sp) — a registered pytree.  Build it OUTSIDE your jit and
+    pass it through as an ARGUMENT (dist_merge_ntt(..., mxu=...)) so
+    the stacked tables ride as runtime buffers; at big rings they are
+    tens of MB and closure capture would inline them into HLO (the
+    relay compile-payload trap).  None when no MXU tail is eligible."""
+    return _merge_dist_mxu(plan, sp)
+
+
 def dist_merge_ntt(x, plan: MergePlan, mesh: Mesh,
-                   local_engine: str | None = None, interpret: bool = False):
+                   local_engine: str | None = None, interpret: bool = False,
+                   mxu=None):
     """Forward merge NTT with the coefficient axis sharded over 'sp'.
 
     x: lane representation of (batch, N) with N sharded P(None, 'sp')
     (and batch optionally over 'dp').  Bit-identical to merge_ntt_lanes.
-    local_engine: 'xla' | 'mxu' | None (auto: MXU on TPU where eligible)."""
+    local_engine: 'xla' | 'mxu' | None (auto: MXU on TPU where eligible).
+    mxu: prebuilt merge_dist_mxu(plan, sp) pytree — pass it (and the
+    plan) through your jit as ARGUMENTS at big rings."""
     sp = mesh.shape["sp"]
+    plan = plan.with_tables()  # cross-stage twiddles read table slices
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
-    mxu = _resolve_mxu(plan, sp, local_engine)
+    if mxu is None:
+        mxu = _resolve_mxu(plan, sp, local_engine)
     spec = P("dp", "sp") if "dp" in mesh.shape else P(None, "sp")
     f = jax.shard_map(
         partial(_shard_fwd, plan=plan, sp=sp, xnp=xnp, mxu=mxu,
@@ -323,11 +432,15 @@ def dist_merge_ntt(x, plan: MergePlan, mesh: Mesh,
 
 
 def dist_merge_intt(x, plan: MergePlan, mesh: Mesh, scale: bool = True,
-                    local_engine: str | None = None, interpret: bool = False):
-    """Inverse merge NTT (GS), coefficient-sharded; n^-1 fused last."""
+                    local_engine: str | None = None, interpret: bool = False,
+                    mxu=None):
+    """Inverse merge NTT (GS), coefficient-sharded; n^-1 fused last.
+    mxu as in dist_merge_ntt."""
     sp = mesh.shape["sp"]
+    plan = plan.with_tables()  # cross-stage twiddles read table slices
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
-    mxu = _resolve_mxu(plan, sp, local_engine)
+    if mxu is None:
+        mxu = _resolve_mxu(plan, sp, local_engine)
     spec = P("dp", "sp") if "dp" in mesh.shape else P(None, "sp")
     f = jax.shard_map(
         partial(_shard_inv, plan=plan, sp=sp, xnp=xnp, scale=scale, mxu=mxu,

@@ -128,14 +128,34 @@ class NTTParameters:
             else 1 << self.logn
         )
 
-        q = self.modulus.value
-        fwd = _power_table(self.root_of_unity, q, self.root_of_unity_size)
-        inv = _power_table(self.inverse_root_of_unity, q, self.root_of_unity_size)
-        self.forward_root_of_unity_table = np.asarray(fwd, dtype=self.dtype)
-        self.inverse_root_of_unity_table = np.asarray(inv, dtype=self.dtype)
+        # power tables are built lazily (see the properties below): at
+        # the big-ring sizes the TPU engines never read them — the MXU
+        # digit-matmul plans are exponent algebra over root_of_unity —
+        # and eagerly materializing 2 x 2^27 uint64 entries at logn 28
+        # costs seconds and gigabytes per process for nothing
+        self._fwd_table = None
+        self._inv_table = None
 
         # n^-1 by Fermat (nttparameters.cu:170-173)
         self.n_inv = host.modinv(self.n, self.modulus)
+
+    @property
+    def forward_root_of_unity_table(self) -> np.ndarray:
+        """Sequential powers of the root (nttparameters.cu:144-168),
+        built on first access and cached."""
+        if self._fwd_table is None:
+            fwd = _power_table(self.root_of_unity, self.modulus.value,
+                               self.root_of_unity_size)
+            self._fwd_table = np.asarray(fwd, dtype=self.dtype)
+        return self._fwd_table
+
+    @property
+    def inverse_root_of_unity_table(self) -> np.ndarray:
+        if self._inv_table is None:
+            inv = _power_table(self.inverse_root_of_unity,
+                               self.modulus.value, self.root_of_unity_size)
+            self._inv_table = np.asarray(inv, dtype=self.dtype)
+        return self._inv_table
 
     # --- pools (nttparameters.cu:84-142): constants verbatim ---
 

@@ -25,7 +25,10 @@ def test_u64_routes(monkeypatch):
     assert _path(monkeypatch, 17, np.uint64) == "mxu"
     assert _path(monkeypatch, 18, np.uint64) == "mxu-large"
     assert _path(monkeypatch, 23, np.uint64) == "mxu-large"
-    assert _path(monkeypatch, 24, np.uint64) is None  # XLA engine
+    # r5: the composed single program covers the WHOLE reference u64
+    # pool range — no jit cliff at 24-28 (VERDICT r4 item 1)
+    assert _path(monkeypatch, 24, np.uint64) == "mxu-large"
+    assert _path(monkeypatch, 28, np.uint64) == "mxu-large"
 
 
 def test_u64_inverse_17_routes_large(monkeypatch):
@@ -86,7 +89,11 @@ def test_u32_routes(monkeypatch):
     assert _path(monkeypatch, 18, np.uint32) == "mxu32-large"
     assert _path(monkeypatch, 19, np.uint32) == "mxu32-large"
     assert _path(monkeypatch, 23, np.uint32) == "mxu32-large"
-    assert _path(monkeypatch, 24, np.uint32) is None
+    # r5: u32 large engine covers the full reference u32 pool range
+    # (logn <= 25, nttparameters.cu:84-98)
+    assert _path(monkeypatch, 24, np.uint32) == "mxu32-large"
+    assert _path(monkeypatch, 25, np.uint32) == "mxu32-large"
+    # logn 26 u32 is unreachable: the parameter pool itself stops at 25
 
 
 def test_cpu_and_layout_fall_back(monkeypatch):
@@ -216,34 +223,96 @@ def test_fourstep_logn24_eager_gate(monkeypatch):
     assert traced_result[0] is not None  # <= 23 stays routed under jit
 
 
-def test_staged_cliff_warning(monkeypatch):
-    """ntt_lanes warns ONCE when a logn >= 24 plan falls back to the XLA
-    engine on a TPU backend (the staged-route jit cliff, VERDICT r3) and
-    stays silent on other backends / smaller sizes."""
-    import types
-    import warnings
-
-    from gpuntt_tpu.ops import dispatch
-
-    plan24 = types.SimpleNamespace(params=object(), q=97, logn=24)
-    plan23 = types.SimpleNamespace(params=object(), q=97, logn=23)
-
-    # CPU backend: silent regardless of size
-    monkeypatch.setattr(dispatch, "_warned_staged_cliff", False)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        dispatch._warn_staged_cliff(plan24)
-
-    # pretend-TPU backend: warn once at 24, never at 23
+def test_from_params_attaches_engines_on_tpu(monkeypatch):
+    """On a TPU backend from_params attaches the MXU engine plans as
+    pytree DATA (plan.engines) and, at the big-ring sizes the MXU
+    engines fully cover, SKIPS the 2^n butterfly tables (they are never
+    read there and cost ~1 min + GBs at logn 28 — VERDICT r4 item 5)."""
     import jax as _jax
 
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        dispatch._warn_staged_cliff(plan23)
-        assert not rec
-        dispatch._warn_staged_cliff(plan24)
-        assert len(rec) == 1 and "staged" in str(rec[0].message).lower()
-        dispatch._warn_staged_cliff(plan24)  # one-time
-        assert len(rec) == 1
-    monkeypatch.setattr(dispatch, "_warned_staged_cliff", False)
+    p = NTTParameters(18, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = MergePlan.from_params(p)
+    assert plan.fwd_table is None and plan.inv_table is None
+    assert set(plan.engines) == {"mxu-large"}
+    # _resolve_mxu must hand back the ATTACHED plan object (identity),
+    # not rebuild from host params — that is what makes the tables ride
+    # as runtime buffers when the MergePlan is a jit argument
+    path, mp, fn = dispatch._resolve_mxu("mxu-large", plan)
+    assert path == "mxu-large" and mp is plan.engines["mxu-large"]
+    # with_tables() restores the butterfly tables for explicit XLA use
+    full = plan.with_tables()
+    assert full.fwd_table is not None and full.inv_table is not None
+
+    # small rings keep their tables (the XLA/VPU engines read them)
+    p13 = NTTParameters(13, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan13 = MergePlan.from_params(p13)
+    assert plan13.fwd_table is not None
+    assert "mxu" in plan13.engines
+
+
+def test_ntt_lanes_composes_in_user_jit(monkeypatch):
+    """The r4 jit cliff is dead: ntt_lanes/intt_lanes inside a USER
+    jax.jit route to the MXU engines via the plan's attached engine
+    pytree when the plan rides as a jit ARGUMENT — bit-exact vs the
+    golden (run at logn 13 / in-VMEM engine so interpret mode is cheap;
+    the logn 24-28 composed route is chip-verified in
+    benchmarks/drive_compiled.py userjit cells)."""
+    import jax as _jax
+
+    import gpuntt_tpu.ops.pallas_mxu as pm
+    from gpuntt_tpu import NTTCPU
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    real = pm.pallas_mxu_u64
+    monkeypatch.setattr(
+        pm, "pallas_mxu_u64",
+        lambda x, mp, inverse=False, interpret=False: real(
+            x, mp, inverse=inverse, interpret=True))
+    p = NTTParameters(13, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = MergePlan.from_params(p)
+    assert "mxu" in plan.engines
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+
+    calls = []
+    orig_resolve = dispatch._resolve_mxu
+
+    def spy(path, pl):
+        out = orig_resolve(path, pl)
+        calls.append(out[0])
+        return out
+
+    monkeypatch.setattr(dispatch, "_resolve_mxu", spy)
+
+    fwd = _jax.jit(lambda v, pl: dispatch.ntt_lanes(v, pl))
+    inv = _jax.jit(lambda v, pl: dispatch.intt_lanes(v, pl))
+    got = from_lanes(fwd(to_lanes(x, True), plan), True)
+    assert calls == ["mxu"]  # routed to the engine INSIDE the trace
+    gen = NTTCPU(p)
+    exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+    np.testing.assert_array_equal(got, exp)
+    back = from_lanes(inv(to_lanes(exp, True), plan), True)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_bigring_plan_as_jit_argument_has_no_giant_consts(monkeypatch):
+    """Tracing ntt_lanes at logn 18 with the plan as a jit argument must
+    not bake multi-MB tables into the jaxpr as constants — inline
+    constants are exactly what broke big-N compiles pre-r4 (the relay
+    rejects multi-MB payloads, HTTP 413)."""
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    p = NTTParameters(18, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = MergePlan.from_params(p)
+    from gpuntt_tpu.ops.merge_ntt import to_lanes
+
+    x = to_lanes(np.zeros((1, p.n), dtype=np.uint64), True)
+    jaxpr = _jax.make_jaxpr(
+        lambda v, pl: dispatch.ntt_lanes(v, pl))(x, plan)
+    const_bytes = sum(
+        np.asarray(c).nbytes for c in jaxpr.consts
+        if hasattr(c, "nbytes") or isinstance(c, np.ndarray))
+    assert const_bytes < (1 << 20), f"{const_bytes} bytes of consts"

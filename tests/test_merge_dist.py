@@ -96,3 +96,38 @@ def test_dist_merge_mxu_local_tails_bit_exact(rng, monkeypatch):
         back_got = dist_merge_intt(got, plan, mesh, local_engine="mxu",
                                    interpret=True)
         np.testing.assert_array_equal(from_lanes(back_got, True), x)
+
+
+def test_dist_merge_mxu_large_local_tails_bit_exact(rng, monkeypatch):
+    """LARGE-engine local tails (MXULargePlan.from_eval per shard — the
+    production regime for ring >= 2^20 at sp=8, where the tail exceeds
+    the in-VMEM kernel) are bit-exact both directions, with the stacked
+    tails passed through a user jit as a pytree ARGUMENT (the runtime-
+    buffer path the north-star dryrun and chip cells use).  The large
+    floor is lowered so a small ring exercises all four shard twists."""
+    from gpuntt_tpu.parallel import merge_dist as md
+    from gpuntt_tpu.parallel.merge_dist import (MergeDistMXULarge,
+                                                merge_dist_mxu)
+
+    monkeypatch.setattr(md, "MXU_LOCAL_LARGE_MIN_LOGN", 12)
+    for poly in (ReductionPolynomial.X_N_plus, ReductionPolynomial.X_N_minus):
+        p = NTTParameters(14, poly, dtype=np.uint64)
+        plan = MergePlan.from_params(p)
+        mesh = make_mesh(dp=1, sp=4)
+        mxu = merge_dist_mxu(plan, 4)
+        assert isinstance(mxu, MergeDistMXULarge)  # local 2^12 -> large
+        batch = 2
+        x = rng.integers(0, p.modulus.value, size=(batch, p.n),
+                         dtype=np.uint64)
+        sh = NamedSharding(mesh, P(None, "sp"))
+        lanes = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), to_lanes(x, True))
+        exp = from_lanes(merge_ntt_lanes(to_lanes(x, True), plan), True)
+        fwd = jax.jit(lambda v, pl, mx: dist_merge_ntt(
+            v, pl, mesh, interpret=True, mxu=mx))
+        got = fwd(lanes, plan, mxu)
+        np.testing.assert_array_equal(from_lanes(got, True), exp)
+        inv = jax.jit(lambda v, pl, mx: dist_merge_intt(
+            v, pl, mesh, interpret=True, mxu=mx))
+        back = inv(got, plan, mxu)
+        np.testing.assert_array_equal(from_lanes(back, True), x)
