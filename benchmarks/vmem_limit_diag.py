@@ -78,6 +78,31 @@ def main(limit_mib=32):
         lanes, extra=(plan,))
     print(f"invmem-inverse-17 marginal: {t * 1e3:.3f} ms")
 
+    # control: the FORWARD under the same raised cap (it fits the 16M
+    # default, so any slowdown vs its known ~0.07 ms is the cap's own
+    # scheduling effect, not the kernel's)
+    lanes_x = to_lanes(x, True)
+    tf = time_marginal(
+        lambda v, pl_: pallas_mxu.pallas_mxu_u64(v, pl_, inverse=False),
+        lanes_x, extra=(plan,))
+    print(f"invmem-forward-17 marginal (same cap): {tf * 1e3:.3f} ms")
+
+    # batch amortization: the 2^26 row phase runs 512 such rings per
+    # program — measure at batch 8 to see the per-ring steady rate
+    xb = rng.integers(0, q, size=(8, p.n), dtype=np.uint64)
+    expb = np.stack([gen.ntt(xb[i]) for i in range(8)])
+    lanes_b = to_lanes(expb, True)
+    tb = time_marginal(
+        lambda v, pl_: pallas_mxu.pallas_mxu_u64(v, pl_, inverse=True),
+        lanes_b, extra=(plan,))
+    print(f"invmem-inverse-17 marginal batch8: {tb * 1e3:.3f} ms "
+          f"({tb / 8 * 1e3:.3f} ms/ring)")
+    tfb = time_marginal(
+        lambda v, pl_: pallas_mxu.pallas_mxu_u64(v, pl_, inverse=False),
+        lanes_b, extra=(plan,))
+    print(f"invmem-forward-17 marginal batch8: {tfb * 1e3:.3f} ms "
+          f"({tfb / 8 * 1e3:.3f} ms/ring)")
+
     from gpuntt_tpu.ops.pallas_mxu_large import (mxu_large_plan,
                                                  pallas_mxu_large_jit)
 
