@@ -64,13 +64,59 @@ def _masks(size: int) -> np.ndarray:
 # -------------------------------------------------------------- kernels
 
 
+# Pair-stride threshold for the SPLIT (half-multiply) stage forms: at
+# t >= 8 the (S//2t, 2, t, L) reshape view keeps whole (8, 128) tiles,
+# so the U/V halves separate without a relayout and the Shoup product
+# runs on the V HALF only — the reference butterfly's 1-modmul-per-pair
+# count (CooleyTukeyUnit, ntt.cuh:69-78).  Below 8 sublanes the
+# interleave would shuffle inside a tile, so those stages keep the
+# full-block roll form (its multiply covers both halves — the r4
+# "2x modmul waste" applied to EVERY stage before r5).
+SPLIT_MIN_T = 8
+
+
+def _ct_stage_split(x, tw, tws, t, q):
+    """Half-multiply CT stage for t >= SPLIT_MIN_T; tw/tws are (S, 1).
+
+    Bounds as _ct_stage_roll: in [0, 4q) -> normalize [0, 2q) -> lazy
+    product < 2q -> out [0, 4q)."""
+    bt, S, L = x.shape
+    x = bo.cond_sub32(x, 2 * q)                       # [0, 2q)
+    x5 = x.reshape(bt, S // (2 * t), 2, t, L)
+    u = x5[:, :, 0]
+    v = x5[:, :, 1]
+    tw5 = tw.reshape(S // (2 * t), 2, t, 1)[:, 1]
+    tws5 = tws.reshape(S // (2 * t), 2, t, 1)[:, 1]
+    wv = bo.shoup_mul32_lazy(v, tw5, tws5, q)         # HALF block, < 2q
+    out_u = u + wv                                    # [0, 4q)
+    out_v = u + jnp.uint32(2 * q) - wv                # (0, 4q)
+    return jnp.stack([out_u, out_v], axis=2).reshape(bt, S, L)
+
+
+def _gs_stage_split(x, tw, tws, t, q):
+    """Half-multiply GS stage: out_U = U+V, out_V = (U-V)*w."""
+    bt, S, L = x.shape
+    x = bo.cond_sub32(x, 2 * q)
+    x5 = x.reshape(bt, S // (2 * t), 2, t, L)
+    u = x5[:, :, 0]
+    v = x5[:, :, 1]
+    sums = u + v                                      # [0, 4q)
+    diffs = u + jnp.uint32(2 * q) - v                 # (0, 4q)
+    tw5 = tw.reshape(S // (2 * t), 2, t, 1)[:, 1]
+    tws5 = tws.reshape(S // (2 * t), 2, t, 1)[:, 1]
+    wd = bo.shoup_mul32_lazy(diffs, tw5, tws5, q)     # HALF block, < 2q
+    return jnp.stack([sums, wd], axis=2).reshape(bt, S, L)
+
+
 def _ct_stage_roll(x, tw, tws, mask, t, q):
     """One lazy CT butterfly stage on (bt, S, L); tw/tws/mask are (S, 1).
 
     Harvey-style: inputs in [0, 4q), one normalization to [0, 2q), lazy
     Shoup product (< 2q for u32), unconditional add / sub+2q back into
     [0, 4q).  Canonical residues appear only at the kernel epilogue.
-    """
+    Dispatches to the half-multiply split form at t >= SPLIT_MIN_T."""
+    if t >= SPLIT_MIN_T:
+        return _ct_stage_split(x, tw, tws, t, q)
     size = x.shape[1]
     x = bo.cond_sub32(x, 2 * q)          # [0, 2q)
     wx = bo.shoup_mul32_lazy(x, tw, tws, q)  # [0, 2q)
@@ -81,7 +127,10 @@ def _ct_stage_roll(x, tw, tws, mask, t, q):
 
 
 def _gs_stage_roll(x, tw, tws, mask, t, q):
-    """One lazy GS stage: out_U = U+V, out_V = (U-V)*w; same bounds."""
+    """One lazy GS stage: out_U = U+V, out_V = (U-V)*w; same bounds.
+    Dispatches to the half-multiply split form at t >= SPLIT_MIN_T."""
+    if t >= SPLIT_MIN_T:
+        return _gs_stage_split(x, tw, tws, t, q)
     size = x.shape[1]
     x = bo.cond_sub32(x, 2 * q)          # [0, 2q)
     sums = x + pltpu.roll(x, size - t, 1)             # [0, 4q)

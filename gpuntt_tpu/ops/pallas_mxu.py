@@ -239,6 +239,12 @@ class MXUMergePlan:
     r40s: int
     cadd: int
     canon_chain: tuple
+    # scoped-VMEM cap override in bytes (0 = Mosaic's 16M default).
+    # v5e has 128 MiB physical VMEM; kernels measured just over the
+    # default (the 2^17 inverse at 16.66M, big column tiles) compile
+    # and run bit-exact with the cap raised (benchmarks/vmem_limit_diag
+    # r5) — plans that need it carry their own budget here.
+    vmem_limit: int = 0
 
     @staticmethod
     def from_params(p: NTTParameters) -> "MXUMergePlan":
@@ -386,8 +392,16 @@ jax.tree_util.register_dataclass(
                  "fwd_right_corr", "w_fwd", "inv_right", "inv_right_corr",
                  "inv_left", "inv_left_corr", "w_inv"],
     meta_fields=["logn", "q", "A", "B", "r40", "r40s", "cadd",
-                 "canon_chain"],
+                 "canon_chain", "vmem_limit"],
 )
+
+
+def vmem_params(plan):
+    """compiler_params for a plan's scoped-VMEM budget (None = default)."""
+    vl = getattr(plan, "vmem_limit", 0)
+    if not vl:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(vl))
 
 
 def plan_to_device(plan):
@@ -632,6 +646,7 @@ def pallas_mxu_polymul_inv_u64(fa: U64, fb: U64, plan: MXUMergePlan,
         grid=(batch,),
         in_specs=[*table_specs, blk, blk, blk, blk],
         out_specs=(blk, blk),
+        compiler_params=vmem_params(plan),
         interpret=interpret,
     )(*tabs, fa.hi.reshape(batch, A, B), fa.lo.reshape(batch, A, B),
       fb.hi.reshape(batch, A, B), fb.lo.reshape(batch, A, B))
@@ -668,6 +683,7 @@ def pallas_mxu_u64(x: U64, plan: MXUMergePlan, inverse: bool = False,
         grid=(batch,),
         in_specs=[*table_specs, blk, blk],
         out_specs=(blk, blk),
+        compiler_params=vmem_params(plan),
         interpret=interpret,
     )(*tabs, x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
     return U64(oh.reshape(batch, n), ol.reshape(batch, n))

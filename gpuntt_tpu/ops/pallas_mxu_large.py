@@ -44,7 +44,7 @@ from .limb import U64
 from .pallas_mxu import (MXUMergePlan, _canon, _corr_left, _corr_right,
                          _modmat_phase, _pow_matrix, _split_u32,
                          balanced_digits, kernel_consts, reduction_consts,
-                         w_factor, NDIAG)
+                         vmem_params, w_factor, NDIAG)
 
 A_COL = 128  # column count: one MXU tile of left-matmul reduction
 
@@ -92,6 +92,11 @@ class MXULargePlan:
     # products stay live across the matmul) — merge24 A=256 T=512
     # measured 18.22M against the 16M scoped limit where the forward fit
     tile_inv: int = 0
+    # scoped-VMEM cap override in bytes for the COLUMN kernels (0 =
+    # Mosaic's 16M default; see MXUMergePlan.vmem_limit) — r5: the
+    # tile_inv halving was a workaround for the default cap, not a
+    # hardware limit
+    vmem_limit: int = 0
 
     @staticmethod
     def from_params(p: NTTParameters, a_col: int | None = None,
@@ -147,7 +152,7 @@ class MXULargePlan:
                   tile: int | None = None, max_row_logn: int = 16,
                   row_kwargs: dict | None = None,
                   col_only: bool = False, psi: int = 1,
-                  ipsi: int = 1) -> "MXULargePlan":
+                  ipsi: int = 1, vmem_limit: int = 0) -> "MXULargePlan":
         """Plan for a merge NTT given its field spec (`root` is omega
         for X_N_minus, psi for X_N_plus; `n_inv` is the total inverse
         scaling, folded into the last-applied column matrix).  psi/ipsi
@@ -194,8 +199,13 @@ class MXULargePlan:
             tile = min(B, max(128, (1 << 17) // A))
             # inverse stack grows with A: chip-measured fits/overflows —
             # A=128 T=1024 fits (r2 logn 20-23 inverse cells), A=256
-            # T=512 is 18.22M > 16M, A=512 T=512 was 20.9M
-            tile_inv = tile if A <= 128 else min(B, max(128, (1 << 16) // A))
+            # T=512 is 18.22M > 16M, A=512 T=512 was 20.9M.  A raised
+            # vmem_limit lifts the cap those numbers were measured
+            # against, so the inverse keeps the forward's tile.
+            if vmem_limit:
+                tile_inv = tile
+            else:
+                tile_inv = tile if A <= 128 else min(B, max(128, (1 << 16) // A))
         else:
             tile = min(tile, B)
             tile_inv = tile
@@ -292,6 +302,7 @@ class MXULargePlan:
 
         return MXULargePlan(
             logn=logn, q=q, A=A, B=B, tile=tile, tile_inv=tile_inv,
+            vmem_limit=vmem_limit,
             col_fwd=col_fwd, col_fwd_corr=_corr_left(col_fwd),
             wt_fwd=pack(wt_f), ws_fwd=pack(ws_f),
             col_inv=col_inv, col_inv_corr=_corr_left(col_inv),
@@ -314,7 +325,7 @@ jax.tree_util.register_dataclass(
                  "row_plan", "row_fwd", "row_fwd_corr",
                  "row_inv", "row_inv_corr", "row_plan_fwd"],
     meta_fields=["logn", "q", "A", "B", "tile", "r40", "r40s", "cadd",
-                 "canon_chain", "tile_inv"],
+                 "canon_chain", "tile_inv", "vmem_limit"],
 )
 
 
@@ -398,6 +409,7 @@ def _col_call(x: U64, plan: MXULargePlan, inverse: bool,
         # output on the kernel's scoped-VMEM stack, which overflowed
         # the 16M v5e limit at logn 18 batch 1 (19.16M measured).
         input_output_aliases={10: 0, 11: 1},
+        compiler_params=vmem_params(plan),
         interpret=interpret,
     )(md, mc, *wt, *ws, x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
     return U64(oh, ol)
@@ -444,6 +456,7 @@ def col_phase_local(x: U64, plan: MXULargePlan, ws_local, inverse: bool,
         in_specs=[fullspec(md), fullspec(mc), *wt_specs, *ws_specs, blk, blk],
         out_specs=(blk, blk),
         input_output_aliases={10: 0, 11: 1},
+        compiler_params=vmem_params(plan),
         interpret=interpret,
     )(md, mc, *wt, *ws_local, x.hi, x.lo)
     return U64(oh, ol)
