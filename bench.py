@@ -94,8 +94,11 @@ def main():
         depth until the spread converges) — the r3 version re-jitted
         both chains per repeat, which multiplied compile time by 2*reps
         per cell and blew the harness past the driver-friendly wall
-        clock once the u32/INTT cells were added."""
-        return time_marginal_spread(fn, v, repeats=reps)
+        clock once the u32/INTT cells were added.  target_noise 0.10
+        (r5, VERDICT r4 weak 6: the r4 intt/u32/polymul cells drifted to
+        15-20% under the default 0.25 — escalate until every quoted
+        number carries a <= ~10% bound)."""
+        return time_marginal_spread(fn, v, repeats=reps, target_noise=0.10)
 
     dt, noise_frac = cell(lambda v: ntt_lanes(v, plan), lanes)
     ntts_per_sec = batch / dt

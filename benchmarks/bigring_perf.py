@@ -38,8 +38,12 @@ def _merge_cell(logn: int, check_inverse: bool = True):
     log(f"merge 2^{logn} u64 batch 1 — composed single-program route (r4)")
     p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     mp = mxu_large_plan(p)
-    row = ("matmul" if mp.row_plan is None
-           else f"{type(mp.row_plan).__name__}(logn {mp.row_plan.logn})")
+    if mp.row_plan_fwd is not None:
+        row = f"delegated-invmem(logn {mp.row_plan_fwd.logn}, both dirs)"
+    elif mp.row_plan is None:
+        row = "matmul"
+    else:
+        row = f"{type(mp.row_plan).__name__}(logn {mp.row_plan.logn})"
     log(f"  plan: A={mp.A} B={mp.B} tile={mp.tile} rows={row}")
     rng = np.random.default_rng(7)
     x = rng.integers(0, p.modulus.value, size=(1, p.n), dtype=np.uint64)

@@ -280,20 +280,20 @@ def staged_ntt_lanes(x_lanes, plan: MergePlan,
                      signed_output: bool = False):
     """Device-resident merge NTT at logn 24-28 on TPU.
 
-    logn 24-25 (r4): ONE composed cached jitted program (col kernel +
-    in-VMEM rows) — the r3 multi-program staging at these sizes was
-    working around the closure-constant inline path, and the composed
-    form with the plan as a pytree jit argument both compiles and runs
-    ~16% faster (8.50/8.35 ms at 2^24, chiplog/r4_composed24.out).
-    logn 26-28: the column and row phases run as separate CACHED jitted
-    programs with arrays staying on device between them — the TPU
-    analog of the reference's 3-4-launch big-N plans (ntt.cuh:665-698,
-    ForwardCore_ ntt.cu:2163-2224); rows recurse into nested large
-    plans there.  Call from eager code with lane-representation (U64
-    pair / uint32) inputs; the first call per (plan, batch) compiles,
-    later calls are cache hits.  Returns None when ineligible (non-TPU,
-    wide q, u32 beyond the pool ceiling, non-root factors) — callers
-    fall back to the jitted XLA engine."""
+    The WHOLE range runs as ONE composed cached jitted program with the
+    plan as a pytree jit argument (r4: the multi-program staging was
+    working around the closure-constant inline path; the composed form
+    beats it at every size — 8.28 ms at 2^24, -41% fwd at 2^26,
+    chiplog/r4_composed*.out); rows recurse into nested large plans
+    inside the same program at 26-28 (the TPU rendition of the
+    reference's 3-4-launch big-N plans, ntt.cuh:665-698, ForwardCore_
+    ntt.cu:2163-2224).  Call from eager code with lane-representation
+    (U64 pair / uint32) inputs; the first call per (plan, batch)
+    compiles, later calls are cache hits.  (Since r5, ntt_lanes inside
+    a user jit reaches the same kernels — this entry remains the eager
+    numpy-path workhorse.)  Returns None when ineligible (non-TPU, wide
+    q, u32 beyond the pool ceiling, non-root factors) — callers fall
+    back to the jitted XLA engine."""
     import jax as _jax
 
     if (_jax.default_backend() != "tpu" or plan.params is None

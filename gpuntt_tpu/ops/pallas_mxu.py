@@ -255,14 +255,21 @@ class MXUMergePlan:
 
     @staticmethod
     def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
-                  n_inv: int) -> "MXUMergePlan":
+                  n_inv: int, nd: int | None = None) -> "MXUMergePlan":
         """Plan for a merge NTT given only its field spec.
 
         `root`/`iroot` follow the parameter conventions: for X_N_minus
         an N-th root omega; for X_N_plus a 2N-th root psi.  `n_inv`
         (folded into the inverse's last matrix) need not equal N^-1 —
         the large-ring composition passes partial scalings.
-        """
+
+        `nd` overrides the digit count (default ND=8, exact for any
+        q < 2^62): narrower moduli need fewer balanced radix-256 digits
+        — q < 2^55 is exact with nd=7, q < 2^47 with nd=6 — and the
+        kernel's diagonal count (2 nd - 1) falls with it, shrinking the
+        VPU recombination that bounds the kernel (r4 duty trace).  The
+        kernel reads the digit count from the table shapes, so no
+        kernel change is needed."""
         n = 1 << logn
         # the factorization is an exponent-arithmetic identity: it needs
         # root to be a genuine (2)N-th root of unity.  The butterfly
@@ -277,11 +284,12 @@ class MXUMergePlan:
         else:
             omega, iomega, psi, ipsi = root, iroot, 1, 1
         return MXUMergePlan.from_eval(q, logn, omega, iomega, psi, ipsi,
-                                      n_inv)
+                                      n_inv, nd=nd)
 
     @staticmethod
     def from_eval(q: int, logn: int, omega: int, iomega: int, psi: int,
-                  ipsi: int, n_inv: int) -> "MXUMergePlan":
+                  ipsi: int, n_inv: int,
+                  nd: int | None = None) -> "MXUMergePlan":
         """Plan for the generalized evaluation transform
 
             out[k] = sum_j x[j] * (psi * omega^bitrev(k, logn))^j   mod q
@@ -342,8 +350,18 @@ class MXUMergePlan:
         ginv_col = (ginv_colT.T.astype(object) * int(n_inv)) % q       # [a2, a1]
         w_i = _pow_matrix(np.array(wi_base, dtype=object), q, B)
 
+        if nd is None:
+            nd = ND
+        else:
+            # exactness at reduced digit count: table entries (< q) need
+            # the balanced range ~2^(8 nd - 1), and the kernel's INPUT
+            # side digitizes lazy residues up to 3q with nd unsigned
+            # bytes (range 2^(8 nd)) — both must hold
+            assert q < 1 << (8 * nd - 1) and 3 * q < 1 << (8 * nd), (q, nd)
+
         def dig(m):
-            return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)))
+            return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)),
+                                   nd)
 
         def wpack(wm):
             wm = wm.astype(np.uint64)
@@ -357,7 +375,7 @@ class MXUMergePlan:
         inv_right = dig(ginv_rowT)
         inv_left = dig(ginv_col)
 
-        rc = reduction_consts(q, NDIAG)
+        rc = reduction_consts(q, 2 * nd - 1)
 
         # tables stay host numpy: they enter each trace as compile-time
         # constants, so a plan built (and cached) inside one jit trace
@@ -440,6 +458,17 @@ def fwd_only(plan: MXUMergePlan) -> MXUMergePlan:
 
     return dataclasses.replace(plan, inv_right=None, inv_right_corr=None,
                                inv_left=None, inv_left_corr=None, w_inv=None)
+
+
+def inv_only(plan: MXUMergePlan) -> MXUMergePlan:
+    """Strip the forward tables from a plan used inverse-only (the
+    large-ring recursion's delegated INVERSE row plan, r5 — see
+    fwd_only for the rationale)."""
+    import dataclasses
+
+    return dataclasses.replace(plan, fwd_left=None, fwd_left_corr=None,
+                               fwd_right=None, fwd_right_corr=None,
+                               w_fwd=None)
 
 
 def mxu_plan(params: NTTParameters) -> MXUMergePlan:

@@ -75,14 +75,18 @@ class MXULargePlan:
     row_fwd_corr: Any = None
     row_inv: Any = None     # Ginv_row^T digits with B^-1 folded
     row_inv_corr: Any = None
-    # forward-only delegated rows at logB == max_row_logn + 1 (= 2^17 in
-    # production): the in-VMEM FORWARD kernel fits at 2^17 (chip PASS,
-    # batch-1 merge 17 fwd cell) while the inverse needs 16.66M scoped
-    # VMEM > the 16M v5e limit — so merge 2^26 forward runs 2 programs
-    # (col + in-VMEM rows) and only the inverse pays the recursion's
-    # third kernel + second W pass.  None when logB is fully in-VMEM
-    # or beyond the forward ceiling.
+    # direction-split delegated rows at logB == max_row_logn + 1 (= 2^17
+    # in production): the in-VMEM kernel at 2^17 beats the nested-plan
+    # recursion ~2x per row batch (32.9 vs 64.8 ms on (512, 2^17), r5
+    # benchmarks/inv26_rows_diag.py).  The forward fits the default
+    # scoped-VMEM cap; the INVERSE needs 16.66M > Mosaic's 16M default,
+    # so row_plan_inv carries vmem_limit (r5 — before the cap was
+    # understood to be a default, only the forward delegated and the
+    # 2^26 inverse paid the recursion's third kernel + second W pass:
+    # 85.4 vs 53.0 ms).  None when logB is fully in-VMEM or beyond the
+    # delegation ceiling.
     row_plan_fwd: Any = None
+    row_plan_inv: Any = None
     r40: int = 0
     r40s: int = 0
     cadd: int = 0
@@ -279,24 +283,37 @@ class MXULargePlan:
                 q, logB, row_root, row_iroot, xnp=False,
                 n_inv=pow(B, q - 2, q)))
         else:
-            # rows beyond the in-VMEM kernel: recurse (logn 26-28 —
-            # the analog of the reference's extra launches for big N)
-            kw = dict(row_plan=MXULargePlan.from_spec(
-                q, logB, row_root, row_iroot, xnp=False,
-                n_inv=pow(B, q - 2, q), max_row_logn=max_row_logn,
-                **(row_kwargs or {})))
             if logB == max_row_logn + 1 and q < (1 << 60):
-                # the in-VMEM FORWARD kernel still fits one step past
-                # the inverse ceiling (see row_plan_fwd doc); q < 2^60
-                # keeps the chip-proven 5-diagonal combine — wide moduli
-                # stay on the recursive route both directions.  The plan
-                # is used forward-only, so its inverse tables (several
-                # MB at B = 2^17) are stripped before upload (ADVICE r3)
-                from .pallas_mxu import fwd_only
+                # the in-VMEM kernel covers one step past max_row_logn
+                # in BOTH directions and beats the nested-plan recursion
+                # ~2x per row batch (32.9 vs 64.8 ms on (512, 2^17), r5
+                # benchmarks/inv26_rows_diag.py) — no nested row_plan is
+                # built at all.  q < 2^60 keeps the chip-proven
+                # 5-diagonal combine; wide moduli recurse instead.  Each
+                # direction ships only the tables it reads (several MB
+                # at B = 2^17, ADVICE r3); the inverse carries the
+                # raised scoped-VMEM cap it needs (16.66M measured vs
+                # the 16M Mosaic default — pre-r5 that default was
+                # mistaken for hardware and the inverse recursed: the
+                # 85.4-vs-53.0 ms asymmetry at 2^26).
+                import dataclasses
 
-                kw["row_plan_fwd"] = fwd_only(MXUMergePlan.from_spec(
+                from .pallas_mxu import fwd_only, inv_only
+
+                rp = MXUMergePlan.from_spec(
                     q, logB, row_root, row_iroot, xnp=False,
-                    n_inv=pow(B, q - 2, q)))
+                    n_inv=pow(B, q - 2, q))
+                kw = dict(row_plan=None,
+                          row_plan_fwd=fwd_only(rp),
+                          row_plan_inv=dataclasses.replace(
+                              inv_only(rp), vmem_limit=24 << 20))
+            else:
+                # rows beyond the in-VMEM kernel: recurse (logn 27-28 —
+                # the analog of the reference's extra launches for big N)
+                kw = dict(row_plan=MXULargePlan.from_spec(
+                    q, logB, row_root, row_iroot, xnp=False,
+                    n_inv=pow(B, q - 2, q), max_row_logn=max_row_logn,
+                    **(row_kwargs or {})))
 
         rc = reduction_consts(q, NDIAG)
 
@@ -323,7 +340,8 @@ jax.tree_util.register_dataclass(
     data_fields=["col_fwd", "col_fwd_corr", "wt_fwd", "ws_fwd",
                  "col_inv", "col_inv_corr", "wt_inv", "ws_inv",
                  "row_plan", "row_fwd", "row_fwd_corr",
-                 "row_inv", "row_inv_corr", "row_plan_fwd"],
+                 "row_inv", "row_inv_corr", "row_plan_fwd",
+                 "row_plan_inv"],
     meta_fields=["logn", "q", "A", "B", "tile", "r40", "r40s", "cadd",
                  "canon_chain", "tile_inv", "vmem_limit"],
 )
@@ -508,13 +526,17 @@ def _row_call(x: U64, plan: MXULargePlan, inverse: bool,
 
     batch, n = x.hi.shape
     A, B = plan.A, plan.B
-    if plan.row_plan is None:
+    if (plan.row_plan is None and plan.row_plan_fwd is None
+            and plan.row_plan_inv is None):
         xv = U64(x.hi.reshape(batch, A, B), x.lo.reshape(batch, A, B))
         y = _row_matmul_call(xv, plan, inverse=inverse, interpret=interpret)
         return U64(y.hi.reshape(batch, n), y.lo.reshape(batch, n))
     rows = U64(x.hi.reshape(batch * A, B), x.lo.reshape(batch * A, B))
     if not inverse and plan.row_plan_fwd is not None:
         y = pallas_mxu_u64(rows, plan.row_plan_fwd, inverse=False,
+                           interpret=interpret)
+    elif inverse and plan.row_plan_inv is not None:
+        y = pallas_mxu_u64(rows, plan.row_plan_inv, inverse=True,
                            interpret=interpret)
     elif isinstance(plan.row_plan, MXULargePlan):
         y = pallas_mxu_large_u64(rows, plan.row_plan, inverse=inverse,

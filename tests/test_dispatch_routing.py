@@ -66,17 +66,21 @@ def test_rns_17_routes_large(monkeypatch):
         assert seen[logn] is want_large
 
 
-def test_staged_plan_rows_cap_at_2p16():
-    """Staged big-N plans never delegate 2^17 rows to the in-VMEM
-    kernel (its inverse does not fit scoped VMEM): merge 2^26 rows
-    recurse into a nested large plan instead."""
+def test_bigring_26_rows_delegate_both_directions():
+    """Merge 2^26 delegates its 2^17 rows to the in-VMEM kernel in BOTH
+    directions (r5): no nested plan, the inverse delegate carrying the
+    raised scoped-VMEM cap it needs (the pre-r5 '2^17 inverse does not
+    fit scoped VMEM' was Mosaic's 16M default, not hardware — the
+    delegation beats the nested recursion 2x, inv26_rows_diag)."""
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
     from gpuntt_tpu.ops.pallas_mxu_large import MXULargePlan
 
     p = NTTParameters(26, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     mp = MXULargePlan.from_params(p)
-    assert isinstance(mp.row_plan, MXULargePlan)  # 2^17 rows -> nested
-    assert isinstance(mp.row_plan.row_plan, MXUMergePlan)
+    assert mp.row_plan is None
+    assert isinstance(mp.row_plan_fwd, MXUMergePlan)
+    assert isinstance(mp.row_plan_inv, MXUMergePlan)
+    assert mp.row_plan_inv.vmem_limit > (1 << 24)
 
 
 def test_u32_routes(monkeypatch):

@@ -102,7 +102,12 @@ def test_mxu_large_bigring_plan_shapes():
     pl25 = MXULargePlan.from_params(p25)
     assert pl25.A == 512 and pl25.A * pl25.B == 1 << 25
     assert isinstance(pl25.row_plan, MXUMergePlan)
-    for lg in (26, 27, 28):
+    # 2^26 rows (2^17) delegate BOTH directions since r5 (no nesting)
+    p26 = NTTParameters(26, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    pl26 = MXULargePlan.from_params(p26)
+    assert pl26.A == 512 and pl26.row_plan is None
+    assert pl26.row_plan_fwd is not None and pl26.row_plan_inv is not None
+    for lg in (27, 28):
         p = NTTParameters(lg, ReductionPolynomial.X_N_plus, dtype=np.uint64)
         pl = MXULargePlan.from_params(p)
         assert pl.A == 512

@@ -84,23 +84,24 @@ def test_staged_merge_recursive_rows(rng):
 
 
 def test_staged_merge_fwd_split_rows(rng):
-    """logB == max_row_logn + 1 (production merge 2^26): the FORWARD
-    rows delegate to the in-VMEM kernel (2 programs) while the inverse
-    keeps the recursive 3-program route — both bit-exact, reduced
-    split."""
+    """logB == max_row_logn + 1 (production merge 2^26): BOTH
+    directions delegate rows to the in-VMEM kernel (2 programs each,
+    r5 — the inverse carries the raised scoped-VMEM cap; pre-r5 only
+    the forward delegated) — both bit-exact, reduced split."""
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
     from gpuntt_tpu.ops.pallas_mxu_large import (MXULargePlan,
                                                  staged_mxu_large_u64)
 
     p = NTTParameters(14, ReductionPolynomial.X_N_plus, dtype=np.uint64)
     q = p.modulus.value
-    assert q < 1 << 60  # fwd split is gated on the non-wide combine
+    assert q < 1 << 60  # the split is gated on the non-wide combine
     plan = MXULargePlan.from_spec(
         q, p.logn, p.root_of_unity, p.inverse_root_of_unity, True,
         pow(p.n, q - 2, q), a_col=8, max_row_logn=10,
         row_kwargs=dict(a_col=8))
     assert isinstance(plan.row_plan_fwd, MXUMergePlan)
-    assert isinstance(plan.row_plan, MXULargePlan)
+    assert isinstance(plan.row_plan_inv, MXUMergePlan)
+    assert plan.row_plan is None  # no nested plan is built at all (r5)
     plan = plan_to_device(plan)
     gen = NTTCPU(p)
     x = rng.integers(0, q, size=(2, p.n), dtype=np.uint64)
@@ -115,28 +116,36 @@ def test_staged_merge_fwd_split_rows(rng):
 
 
 def test_fwd_split_gate_structure():
-    """The delegated forward row plan exists exactly at
-    logB == max_row_logn + 1 and is stripped of its inverse tables
-    (fwd_only, ADVICE r3).  Checked at a small spec with the gate
+    """The delegated row plans exist exactly at
+    logB == max_row_logn + 1, each stripped to its direction's tables
+    (fwd_only/inv_only, ADVICE r3), the inverse carrying the raised
+    scoped-VMEM cap (r5).  Checked at a small spec with the gate
     arithmetic scaled down (ADVICE r3: building the full 2^26/2^27
     plans host-side costs minutes for two attribute asserts; the
-    production logB == 17 gate has chip evidence in RESULTS_r3) plus a
-    direct check of the production gate arithmetic."""
+    production logB == 17 gate has chip evidence in RESULTS_r3/r5) plus
+    a direct check of the production gate arithmetic."""
     from gpuntt_tpu.ops.pallas_mxu import MXUMergePlan
     from gpuntt_tpu.ops.pallas_mxu_large import MXULargePlan
 
     p = NTTParameters(14, ReductionPolynomial.X_N_minus, dtype=np.uint64)
     q = p.modulus.value
-    # logB = 14 - 3 = 11 == max_row_logn + 1 -> forward split present
+    # logB = 14 - 3 = 11 == max_row_logn + 1 -> delegated rows
     plan = MXULargePlan.from_spec(
         q, p.logn, p.root_of_unity, p.inverse_root_of_unity, False,
         pow(p.n, q - 2, q), a_col=8, max_row_logn=10,
         row_kwargs=dict(a_col=8))
     assert isinstance(plan.row_plan_fwd, MXUMergePlan)
-    assert isinstance(plan.row_plan, MXULargePlan)
-    # forward-only plan ships no inverse tables (ADVICE r3)
+    assert isinstance(plan.row_plan_inv, MXUMergePlan)
+    assert plan.row_plan is None
+    # each direction ships only its own tables (ADVICE r3)
     assert plan.row_plan_fwd.inv_left is None
     assert plan.row_plan_fwd.w_inv is None
+    assert plan.row_plan_inv.fwd_left is None
+    assert plan.row_plan_inv.w_fwd is None
+    # the inverse kernel needs the raised scoped-VMEM cap (16.66M at
+    # 2^17 vs the 16M Mosaic default); the forward keeps the default
+    assert plan.row_plan_inv.vmem_limit > (1 << 24)
+    assert plan.row_plan_fwd.vmem_limit == 0
     # logB = 15 - 3 = 12 > max_row_logn + 1 -> recursion only, no split
     p15 = NTTParameters(15, ReductionPolynomial.X_N_minus, dtype=np.uint64)
     plan15 = MXULargePlan.from_spec(
