@@ -427,6 +427,39 @@ def drive_userjit_polymul_24(logn=24):
     return ok, f"2^{logn} u64 negacyclic polymul inside USER jit, {par}"
 
 
+def drive_userjit_4step_24(logn=24):
+    """4-step at MATRIX_DIMENSIONS max (2^24) inside a USER jit (r5 —
+    the pre-r5 trace gate at 24 was the refuted composed-program
+    doctrine; the m4 plan tables are factored-small, so the route now
+    fires under traces).  Parity vs the eager route (itself chip
+    golden-verified, r4) + roundtrip."""
+    import jax
+
+    from gpuntt_tpu import NTTParameters4Step, ReductionPolynomial
+    from gpuntt_tpu.ops.fourstep import (FourStepPlan, fourstep_intt_full,
+                                         fourstep_ntt_full)
+    from gpuntt_tpu.ops.merge_ntt import from_lanes, to_lanes
+
+    if INTERPRET:
+        logn = 13
+    p = NTTParameters4Step(logn, ReductionPolynomial.X_N_minus,
+                           dtype=np.uint64)
+    q = p.modulus.value
+    plan = FourStepPlan.from_params(p)
+    rng = np.random.default_rng(14)
+    x = rng.integers(0, q, size=(1, p.n), dtype=np.uint64)
+    lanes = to_lanes(x, True)
+    fwd = jax.jit(lambda v, pl: fourstep_ntt_full(v, pl))
+    inv = jax.jit(lambda v, pl: fourstep_intt_full(v, pl))
+    got = from_lanes(fwd(lanes, plan), True)
+    ref = from_lanes(fourstep_ntt_full(lanes, plan), True)  # eager route
+    ok = np.array_equal(got, ref)
+    back = from_lanes(inv(to_lanes(got, True), plan), True)
+    ok = ok and np.array_equal(back, x)
+    return ok, (f"2^{logn} u64 4-step inside USER jit, parity vs eager "
+                f"route + roundtrip, plan as jit arg")
+
+
 ROUTES = {
     "u32-rns-kernel": drive_u32_rns,
     "u32-mxu": drive_u32_mxu,
@@ -440,6 +473,7 @@ ROUTES = {
     "userjit-24": drive_userjit_24,
     "userjit-u32-25": drive_userjit_u32_25,
     "userjit-polymul-24": drive_userjit_polymul_24,
+    "userjit-4step-24": drive_userjit_4step_24,
 }
 
 

@@ -38,21 +38,29 @@ def main(logn=20, batch=16):
     gen = NTTCPU(p)
     exp = np.stack([gen.ntt(x[i]) for i in range(batch)])
 
+    from gpuntt_tpu.ops.pallas_mxu32 import pallas_mxu32_large
+
     def drive(name, plan):
-        got = np.asarray(pallas_mxu32_large_jit(x, plan))
+        # fresh jits per variant: the bt choice is trace-internal, so
+        # the module-level jit cache would alias across bt variants
+        fwd_ = jax.jit(lambda v, pl_: pallas_mxu32_large(v, pl_))
+        inv_ = jax.jit(
+            lambda v, pl_: pallas_mxu32_large(v, pl_, inverse=True))
+        got = np.asarray(fwd_(x, plan))
         ok = np.array_equal(got, exp)
-        back = np.asarray(pallas_mxu32_large_jit(exp, plan, inverse=True))
+        back = np.asarray(inv_(exp, plan))
         ok = ok and np.array_equal(back, x)
         if not ok:
             print(f"{name}: FAIL bit-exactness")
             return
         xd = jax.device_put(x)
         tf, nf = time_marginal_scan(
-            lambda v, pl_: pallas_mxu32_large_jit(v, pl_), xd, extra=(plan,))
+            lambda v, pl_: pallas_mxu32_large(v, pl_), xd, extra=(plan,))
         tc, nc = time_marginal_scan(
-            lambda v, pl_: _col_phase32(v, pl_, False), xd, extra=(plan,))
-        tr, nr = time_marginal_scan(
-            lambda v, pl_: _row_phase32(v, pl_, False), xd, extra=(plan,))
+            lambda v, pl_: _col_phase32(v, pl_, False, interpret=False),
+            xd, extra=(plan,))
+        row_fn = lambda v, pl_: _row_phase32(v, pl_, False, interpret=False)
+        tr, nr = time_marginal_scan(row_fn, xd, extra=(plan,))
         print(json.dumps({
             "variant": name, "A": plan.A, "B": plan.B, "tile": plan.tile,
             "full_ms": round(tf * 1e3, 3), "noise": round(nf, 3),
@@ -60,9 +68,15 @@ def main(logn=20, batch=16):
             "col_noise": round(nc, 3), "row_noise": round(nr, 3),
             "parity": "PASS"}), flush=True)
 
-    drive("default A=128", plan_to_device(MXU32LargePlan.from_params(p)))
-    drive("A=256", plan_to_device(MXU32LargePlan.from_params(p, a_col=256)))
-    drive("A=512", plan_to_device(MXU32LargePlan.from_params(p, a_col=512)))
+    import gpuntt_tpu.ops.pallas_mxu32 as pm32
+
+    base = plan_to_device(MXU32LargePlan.from_params(p))
+    for target in (16, 17, 18):
+        pm32._pick_bt32 = (
+            lambda batch, n, _t=target: max(
+                1, next(bt for bt in range((1 << _t) // max(n, 1), 0, -1)
+                        if batch % bt == 0)))
+        drive(f"A=128 bt-target 2^{target}", base)
     return 0
 
 

@@ -168,16 +168,16 @@ def _mxu_route(x, plan: FourStepPlan, inverse: bool):
     # sizes (logn 17+).
     lo = 12 if plan.is64 else 17
     q_max = (1 << 62) if plan.is64 else (1 << 30)
-    # logn 24 (MATRIX_DIMENSIONS max, nttparameters.cu:305-354) only
-    # EAGERLY: each pallas_call then compiles as its own small program
-    # (col kernel + 2^16-point row kernel), dodging the compiler limit
-    # that kills composed 2^24 programs — same staging as the merge
-    # big-N route (dispatch._staged_route)
+    # the full MATRIX_DIMENSIONS range 12-24 (nttparameters.cu:305-354)
+    # routes in AND out of traces (r5): the 4-step MXU plan's tables are
+    # factored-small (tile + scale columns, no (n1, n2) W), so even a
+    # closure-captured plan inlines only MBs — the pre-r5 trace gate at
+    # 24 was the refuted "composed 2^24 overwhelms the compiler"
+    # doctrine (chip: userjit-4step-24 in drive_compiled.py)
     leaf = x.hi if plan.is64 else x
     eager = not isinstance(leaf, jax.core.Tracer)
-    hi = 24 if eager else 23
     if (plan.params is None or plan.q >= q_max
-            or not lo <= plan.logn <= hi or _jax.default_backend() != "tpu"):
+            or not lo <= plan.logn <= 24 or _jax.default_backend() != "tpu"):
         return None
     from . import pallas_mxu_4step as m4
 

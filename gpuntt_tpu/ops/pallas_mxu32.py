@@ -166,27 +166,44 @@ def _canon32(z, q):
     return bo.cond_sub32(z, q)
 
 
-def _fwd_kernel32(lh, lc, rh, rc, w, ws, xr, orf, *, consts):
+def _fwd_kernel32(lh, lc, rh, rc, w, ws, xr, orf, *, consts, bt):
     q = consts["q"]
-    y = _lazy_to_u32(_modmat_phase(xr[0], lh, lc, True, consts), consts)
-    y = bo.shoup_mul32_lazy(y, w[...], ws[...], q)       # < 2q
-    z = _lazy_to_u32(_modmat_phase(y, rh, rc, False, consts), consts)
-    orf[0] = _canon32(z, q)
+    for i in range(bt):
+        y = _lazy_to_u32(_modmat_phase(xr[i], lh, lc, True, consts), consts)
+        y = bo.shoup_mul32_lazy(y, w[...], ws[...], q)       # < 2q
+        z = _lazy_to_u32(_modmat_phase(y, rh, rc, False, consts), consts)
+        orf[i] = _canon32(z, q)
 
 
-def _inv_kernel32(rh, rc, lh, lc, w, ws, xr, orf, *, consts):
+def _inv_kernel32(rh, rc, lh, lc, w, ws, xr, orf, *, consts, bt):
     q = consts["q"]
-    y = _lazy_to_u32(_modmat_phase(xr[0], rh, rc, False, consts), consts)
-    y = bo.shoup_mul32_lazy(y, w[...], ws[...], q)
-    z = _lazy_to_u32(_modmat_phase(y, lh, lc, True, consts), consts)
-    orf[0] = _canon32(z, q)
+    for i in range(bt):
+        y = _lazy_to_u32(_modmat_phase(xr[i], rh, rc, False, consts),
+                         consts)
+        y = bo.shoup_mul32_lazy(y, w[...], ws[...], q)
+        z = _lazy_to_u32(_modmat_phase(y, lh, lc, True, consts), consts)
+        orf[i] = _canon32(z, q)
+
+
+def _pick_bt32(batch: int, n: int) -> int:
+    """Rings per grid step: small rings (the large route's B-point rows,
+    2^10-2^13) run ~1 us/step at one tiny (A, B) block per step — grid
+    overhead dominates and the row phase was 70% of the u32 2^20 route
+    (r5 benchmarks/u32large_diag.py).  Target ~2^16 lanes per step; the
+    u32 2^17 in-VMEM top-level block stays at bt=1 (chip-proven)."""
+    bt = max(1, (1 << 16) // max(n, 1))
+    while batch % bt:
+        bt -= 1
+    return bt
 
 
 def pallas_mxu_u32(x, plan: MXU32Plan, inverse: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, bt: int | None = None):
     """Forward/inverse merged NTT on (batch, N) uint32 via the MXU."""
     batch, n = x.shape
     A, B = plan.A, plan.B
+    if bt is None:
+        bt = _pick_bt32(batch, n)
     if inverse:
         kernel = _inv_kernel32
         tabs = [plan.inv_right, plan.inv_right_corr,
@@ -200,12 +217,12 @@ def pallas_mxu_u32(x, plan: MXU32Plan, inverse: bool = False,
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    blk = pl.BlockSpec((1, A, B), lambda i: (i, 0, 0),
+    blk = pl.BlockSpec((bt, A, B), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(kernel, consts=plan.consts),
+        functools.partial(kernel, consts=plan.consts, bt=bt),
         out_shape=jax.ShapeDtypeStruct((batch, A, B), jnp.uint32),
-        grid=(batch,),
+        grid=(batch // bt,),
         in_specs=[*[fullspec(t) for t in tabs], blk],
         out_specs=blk,
         interpret=interpret,

@@ -176,11 +176,11 @@ def test_rns_mxu_route_declines_off_tpu(monkeypatch):
                                    inverse=False) is None
 
 
-def test_fourstep_logn24_eager_gate(monkeypatch):
+def test_fourstep_logn24_routes_in_and_out_of_traces(monkeypatch):
     """logn 24 (MATRIX_DIMENSIONS max) routes to the MXU 4-step engine
-    only when EAGER — each pallas_call then compiles separately; under
-    a trace it declines (composed 2^24 programs overwhelm the
-    compiler), falling to the XLA stage sweep."""
+    both eagerly AND under a trace (r5 — the pre-r5 trace gate was the
+    refuted 'composed 2^24 overwhelms the compiler' doctrine; the m4
+    plan tables are factored-small)."""
     import types
 
     import jax
@@ -213,18 +213,18 @@ def test_fourstep_logn24_eager_gate(monkeypatch):
         return v.hi
 
     probe(x)
-    assert traced_result == [None]  # traced: declined
+    assert traced_result[0] is not None  # traced: ALSO routed (r5)
 
-    plan23 = types.SimpleNamespace(params=object(), q=97, logn=23, is64=True)
+    plan25 = types.SimpleNamespace(params=object(), q=97, logn=25, is64=True)
     traced_result.clear()
 
     @jax.jit
-    def probe23(v):
-        traced_result.append(fs._mxu_route(v, plan23, inverse=False))
+    def probe25(v):
+        traced_result.append(fs._mxu_route(v, plan25, inverse=False))
         return v.hi
 
-    probe23(x)
-    assert traced_result[0] is not None  # <= 23 stays routed under jit
+    probe25(x)
+    assert traced_result == [None]  # beyond MATRIX_DIMENSIONS: declined
 
 
 def test_from_params_attaches_engines_on_tpu(monkeypatch):
