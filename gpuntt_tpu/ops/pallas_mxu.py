@@ -61,6 +61,23 @@ GROUP = 5              # diagonals per u64 group (radix 2^40 groups)
 GROUP_WIDE = 4         # wide-q (2^60..2^62) grouping: radix 2^32 groups
 
 
+def auto_nd(q: int) -> int:
+    """Smallest exact digit count for modulus q (<= ND = 8).
+
+    Two exactness constraints (r5, chip-verified bit-exact at 54/46-bit
+    moduli — benchmarks/nd_diag.py): table entries (< q) need the
+    balanced radix-256 range ~2^(8 nd - 1), and the kernel's input side
+    digitizes lazy residues up to 3q with nd unsigned bytes (2^(8 nd)).
+    Fewer digits shrink the diagonal count 2 nd - 1 — the VPU
+    recombination that bounds the kernel (r4 duty trace) — measured
+    -15% at nd=7 (q < 2^55) and -32% at nd=6 (q < ~2^46.4) on the
+    headline shape."""
+    for nd in range(4, ND):
+        if q < 1 << (8 * nd - 1) and 3 * q < 1 << (8 * nd):
+            return nd
+    return ND
+
+
 def combine_mode(q: int) -> tuple[int, bool]:
     """(diagonals per group, trim?) for a modulus.
 
@@ -247,11 +264,12 @@ class MXUMergePlan:
     vmem_limit: int = 0
 
     @staticmethod
-    def from_params(p: NTTParameters) -> "MXUMergePlan":
+    def from_params(p: NTTParameters,
+                    nd: int | None = None) -> "MXUMergePlan":
         xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
         return MXUMergePlan.from_spec(
             p.modulus.value, p.logn, p.root_of_unity,
-            p.inverse_root_of_unity, xnp, p.n_inv)
+            p.inverse_root_of_unity, xnp, p.n_inv, nd=nd)
 
     @staticmethod
     def from_spec(q: int, logn: int, root: int, iroot: int, xnp: bool,
@@ -351,13 +369,13 @@ class MXUMergePlan:
         w_i = _pow_matrix(np.array(wi_base, dtype=object), q, B)
 
         if nd is None:
-            nd = ND
-        else:
-            # exactness at reduced digit count: table entries (< q) need
-            # the balanced range ~2^(8 nd - 1), and the kernel's INPUT
-            # side digitizes lazy residues up to 3q with nd unsigned
-            # bytes (range 2^(8 nd)) — both must hold
-            assert q < 1 << (8 * nd - 1) and 3 * q < 1 << (8 * nd), (q, nd)
+            nd = auto_nd(q)
+        # exactness at reduced digit count: table entries (< q) need
+        # the balanced range ~2^(8 nd - 1), and the kernel's INPUT
+        # side digitizes lazy residues up to 3q with nd unsigned
+        # bytes (range 2^(8 nd)) — both must hold
+        assert nd == ND or (q < 1 << (8 * nd - 1)
+                            and 3 * q < 1 << (8 * nd)), (q, nd)
 
         def dig(m):
             return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)),

@@ -104,7 +104,8 @@ class MXULargePlan:
 
     @staticmethod
     def from_params(p: NTTParameters, a_col: int | None = None,
-                    tile: int | None = None) -> "MXULargePlan":
+                    tile: int | None = None,
+                    nd: int | None = None) -> "MXULargePlan":
         q = p.modulus.value
         xnp = p.poly_reduction == ReductionPolynomial.X_N_plus
         if a_col is None and p.logn == 18:
@@ -124,7 +125,7 @@ class MXULargePlan:
             a_col = A_COL
         return MXULargePlan.from_spec(
             q, p.logn, p.root_of_unity, p.inverse_root_of_unity, xnp,
-            pow(p.n, q - 2, q), a_col=a_col, tile=tile)
+            pow(p.n, q - 2, q), a_col=a_col, tile=tile, nd=nd)
 
     @staticmethod
     def from_eval(q: int, logn: int, omega: int, iomega: int, psi: int,
@@ -156,7 +157,8 @@ class MXULargePlan:
                   tile: int | None = None, max_row_logn: int = 16,
                   row_kwargs: dict | None = None,
                   col_only: bool = False, psi: int = 1,
-                  ipsi: int = 1, vmem_limit: int = 0) -> "MXULargePlan":
+                  ipsi: int = 1, vmem_limit: int = 0,
+                  nd: int | None = None) -> "MXULargePlan":
         """Plan for a merge NTT given its field spec (`root` is omega
         for X_N_minus, psi for X_N_plus; `n_inv` is the total inverse
         scaling, folded into the last-applied column matrix).  psi/ipsi
@@ -243,8 +245,17 @@ class MXULargePlan:
         wt_i, ws_i = w_factor(wi_base, np.arange(tile_inv),
                               np.arange(B // tile_inv) * tile_inv, q)
 
+        # digit count by modulus width (auto_nd, r5): fewer diagonals in
+        # the column kernels for narrow moduli; delegated/nested row
+        # plans pick the same nd for the same q via their own defaults
+        if nd is None:
+            from .pallas_mxu import auto_nd
+
+            nd = auto_nd(q)
+
         def dig(m):
-            return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)))
+            return balanced_digits(np.ascontiguousarray(m.astype(np.uint64)),
+                                   nd)
 
         def pack(wm):
             wm = wm.astype(np.uint64)
@@ -315,7 +326,7 @@ class MXULargePlan:
                     n_inv=pow(B, q - 2, q), max_row_logn=max_row_logn,
                     **(row_kwargs or {})))
 
-        rc = reduction_consts(q, NDIAG)
+        rc = reduction_consts(q, 2 * nd - 1)
 
         return MXULargePlan(
             logn=logn, q=q, A=A, B=B, tile=tile, tile_inv=tile_inv,

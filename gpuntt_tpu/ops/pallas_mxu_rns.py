@@ -81,9 +81,14 @@ class MXURNSPlan:
 
         Raises ValueError when any member is outside the MXU envelope
         or the members disagree on shapes/chain length (dispatch falls
-        back to the per-modulus host split, then the XLA engine)."""
+        back to the per-modulus host split, then the XLA engine).  The
+        stacked digit tables must share one digit count, so mixed-width
+        ladders take the widest member's auto_nd (r5)."""
+        from .pallas_mxu import auto_nd
+
+        nd = max(auto_nd(p.modulus.value) for p in members)
         return MXURNSPlan.from_plans(
-            [MXUMergePlan.from_params(p) for p in members])
+            [MXUMergePlan.from_params(p, nd=nd) for p in members])
 
     @staticmethod
     def from_plans(plans) -> "MXURNSPlan":
@@ -293,9 +298,13 @@ class MXULargeRNSPlan:
         # RNS kernel's VMEM budget, since stacked table blocks are
         # double-buffered when their index varies with the grid
         # (measured 20.4M > 16M)
+        from .pallas_mxu import auto_nd
+
+        # stacked digit tables must share one digit count (r5)
+        nd = max(auto_nd(p.modulus.value) for p in members)
         plans = [MXULargePlan.from_params(
             p, a_col=(a := max(128, p.n >> 16)),
-            tile=max(128, (1 << 16) // a)) for p in members]
+            tile=max(128, (1 << 16) // a), nd=nd) for p in members]
         p0 = plans[0]
         _require_narrow(plans)
         if any((pl_.A, pl_.B, pl_.tile) != (p0.A, p0.B, p0.tile)

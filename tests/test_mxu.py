@@ -145,3 +145,38 @@ def test_mxu_u32_logn17_top_level(rng):
     back = np.asarray(pallas_mxu_u32(exp.astype(np.uint32), plan,
                                      inverse=True, interpret=True))
     np.testing.assert_array_equal(back, x)
+
+
+def test_auto_digit_count_by_modulus_width(rng):
+    """Narrow moduli get fewer balanced digits automatically (r5):
+    nd=7 for q < 2^55, nd=6 for q < ~2^46.4 — 13/11 diagonals instead
+    of 15, chip-measured -15%/-32% (benchmarks/nd_diag.py) — with the
+    61-bit pool primes unchanged at nd=8.  Bit-exact at every width,
+    both directions, through from_params (the dispatch path)."""
+    from gpuntt_tpu import NTTFactors
+    from gpuntt_tpu.arith.host import find_ntt_primes, ntt_root_pair
+    from gpuntt_tpu.arith.modulus import Modulus64
+    from gpuntt_tpu.ops.pallas_mxu import auto_nd
+
+    p_pool = NTTParameters(9, ReductionPolynomial.X_N_plus,
+                           dtype=np.uint64)
+    assert auto_nd(p_pool.modulus.value) == 8  # 61-bit pool: unchanged
+    for bits, want_nd in ((54, 7), (46, 6)):
+        q = find_ntt_primes(bits, 9, 1)[0]
+        assert auto_nd(q) == want_nd
+        om, psi = ntt_root_pair(q, 9)
+        p = NTTParameters(9, ReductionPolynomial.X_N_plus,
+                          dtype=np.uint64,
+                          factors=NTTFactors(Modulus64(q), om, psi))
+        plan = MXUMergePlan.from_params(p)
+        assert plan.fwd_left.shape[0] == want_nd
+        gen = NTTCPU(p)
+        x = rng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+        got = from_lanes(pallas_mxu_u64(to_lanes(x, True), plan,
+                                        interpret=True), True)
+        exp = np.stack([gen.ntt(x[i]) for i in range(2)])
+        np.testing.assert_array_equal(got, exp)
+        back = from_lanes(pallas_mxu_u64(to_lanes(exp, True), plan,
+                                         inverse=True, interpret=True),
+                          True)
+        np.testing.assert_array_equal(back, x)
