@@ -339,10 +339,13 @@ class MXUMergePlan:
         A = n // B
         logA = logn - logB
         assert A <= 512, "A <= 512 keeps diagonal accumulators exact"
-        if n > 1 << 17:
+        if n > 1 << 18:
             raise ValueError("MXU path holds one (A, B) poly in VMEM; "
-                             "N <= 2^17 (larger rings take the 4-step or "
-                             "VPU engines)")
+                             "N <= 2^18 (larger rings take the large/"
+                             "4-step engines)")
+        # 2^18 exceeds Mosaic's default scoped-VMEM cap: plans at that
+        # size only run with a raised vmem_limit (r5; 2^17 inverse
+        # likewise — dispatch's consumers set it where they delegate)
         brA = np.array([bitreverse(a, logA) for a in range(A)], dtype=object)
         brB = np.array([bitreverse(b, logB) for b in range(B)], dtype=object)
 
