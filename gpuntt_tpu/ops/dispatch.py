@@ -208,6 +208,16 @@ def ntt_lanes(
             x = bo.reduce_signed32(x, plan.q)
     x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
+    if len(shape) != 2:
+        # canonicalize to (batch, N): the MXU engines are 2-D, and a
+        # 1-D/3-D shape must not silently change the ROUTE (pre-r5 it
+        # fell to the XLA engine, which at big N rebuilt the skipped
+        # butterfly tables as multi-MB inline constants under traces)
+        x2 = jax.tree_util.tree_map(lambda a: a.reshape(-1, shape[-1]), x)
+        y = ntt_lanes(x2, plan, use_pallas=use_pallas)
+        y = jax.tree_util.tree_map(
+            lambda a: a.reshape(shape[:-1] + (shape[-1],)), y)
+        return _apply_layout_out(y, layout)
     if use_pallas == "auto":
         use_pallas = _kernel_path(plan, shape, NTTLayout.PerPolynomial)
     elif use_pallas is True:
@@ -244,6 +254,14 @@ def intt_lanes(
     ntt_lanes (pass the plan as a jit argument)."""
     x = _apply_layout_in(x, layout)
     shape = jax.tree_util.tree_leaves(x)[0].shape
+    if len(shape) != 2:
+        # canonicalize to (batch, N) — see ntt_lanes
+        x2 = jax.tree_util.tree_map(lambda a: a.reshape(-1, shape[-1]), x)
+        y = intt_lanes(x2, plan, signed_output=signed_output,
+                       use_pallas=use_pallas)
+        y = jax.tree_util.tree_map(
+            lambda a: a.reshape(shape[:-1] + (shape[-1],)), y)
+        return _apply_layout_out(y, layout)
     if use_pallas == "auto":
         use_pallas = _kernel_path(plan, shape, NTTLayout.PerPolynomial,
                                   inverse=True)

@@ -343,13 +343,35 @@ def gs_stages(x, table, shoup, ops, log_size: int, xnp: bool):
     return x
 
 
+def _tables_for_engine(plan: MergePlan, x_leaf) -> MergePlan:
+    """Restore the butterfly tables for the XLA engine, refusing to do
+    so INSIDE a trace at big rings: with_tables() builds concrete host
+    arrays, which a trace bakes into the jaxpr as constants — 10s of MB
+    to GBs at logn >= 18, the relay compile-payload trap (CLAUDE.md).
+    Table-less plans only exist on TPU backends where dispatch routes
+    these sizes to the MXU engines; reaching this path under a trace
+    means the caller explicitly forced the XLA engine (use_pallas=False)
+    on a table-skipped plan — build the plan with
+    MergePlan.from_params(p, tables=True) (or call .with_tables()
+    outside the jit) and pass it as the jit argument instead."""
+    if plan.logn >= 18 and isinstance(x_leaf, jax.core.Tracer):
+        raise ValueError(
+            f"XLA butterfly engine at logn={plan.logn} inside a trace "
+            "with a table-skipped plan: the 2^n twiddle tables would "
+            "inline into the compiled program as constants.  Build the "
+            "plan with MergePlan.from_params(params, tables=True) (or "
+            "plan.with_tables() outside the jit) and pass it through "
+            "your jit as an argument.")
+    return plan.with_tables()
+
+
 def merge_ntt_lanes(x, plan: MergePlan):
     """Forward merged NTT along the last axis of the lane representation.
 
     Matches GPU_NTT output element-for-element (ntt.cu:2076-2256).
     """
     if plan.fwd_table is None:
-        plan = plan.with_tables()
+        plan = _tables_for_engine(plan, jax.tree_util.tree_leaves(x)[0])
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     return ct_stages(x, plan.fwd_table, plan.fwd_shoup, plan.ops(), plan.logn, xnp)
 
@@ -362,7 +384,7 @@ def merge_intt_lanes(x, plan: MergePlan, scale: bool = True):
     unscaled variant used when the caller owns cfg.mod_inverse.
     """
     if plan.inv_table is None:
-        plan = plan.with_tables()
+        plan = _tables_for_engine(plan, jax.tree_util.tree_leaves(x)[0])
     ops = plan.ops()
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     x = gs_stages(x, plan.inv_table, plan.inv_shoup, ops, plan.logn, xnp)

@@ -164,6 +164,11 @@ class MXULargePlan:
         scaling, folded into the last-applied column matrix).  psi/ipsi
         is the evaluation twist (X_N_minus form only — see from_eval).
 
+        `row_kwargs` configures the NESTED recursion rows only
+        (logB > max_row_logn + 1, or wide q); the delegation branch
+        (logB == max_row_logn + 1, q < 2^60) builds in-VMEM row plans
+        and does not read it.
+
         logn 18-23 composes one column kernel with in-VMEM rows; for
         logn 24-28 — the reference's big-N range with 3-4-launch plans
         (ntt.cuh:665-698, ForwardCore_ ntt.cu:2163-2224) — rows beyond
@@ -292,7 +297,7 @@ class MXULargePlan:
             # recurse into a nested plan instead (merge 2^26 with A=512)
             kw = dict(row_plan=MXUMergePlan.from_spec(
                 q, logB, row_root, row_iroot, xnp=False,
-                n_inv=pow(B, q - 2, q)))
+                n_inv=pow(B, q - 2, q), nd=nd))
         else:
             if logB == max_row_logn + 1 and q < (1 << 60):
                 # the in-VMEM kernel covers one step past max_row_logn
@@ -313,7 +318,7 @@ class MXULargePlan:
 
                 rp = MXUMergePlan.from_spec(
                     q, logB, row_root, row_iroot, xnp=False,
-                    n_inv=pow(B, q - 2, q))
+                    n_inv=pow(B, q - 2, q), nd=nd)
                 kw = dict(row_plan=None,
                           row_plan_fwd=fwd_only(rp),
                           row_plan_inv=dataclasses.replace(
@@ -324,7 +329,7 @@ class MXULargePlan:
                 kw = dict(row_plan=MXULargePlan.from_spec(
                     q, logB, row_root, row_iroot, xnp=False,
                     n_inv=pow(B, q - 2, q), max_row_logn=max_row_logn,
-                    **(row_kwargs or {})))
+                    nd=nd, **(row_kwargs or {})))
 
         rc = reduction_consts(q, 2 * nd - 1)
 

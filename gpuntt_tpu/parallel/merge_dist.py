@@ -179,8 +179,13 @@ def _build_merge_dist_mxu(plan: MergePlan, sp: int):
     if lognl >= MXU_LOCAL_LARGE_MIN_LOGN:
         from ..ops.pallas_mxu_large import MXULargePlan
 
-        plans = [MXULargePlan.from_eval(q, lognl, omega, iomega, ps, ips, 1)
-                 for ps, ips in tw]
+        # only the COLUMN phase varies with the shard twist; the
+        # template (shard 0) carries the shard-invariant row machinery,
+        # the rest build col_only (the r5 review flagged sp identical
+        # row-table builds)
+        plans = [MXULargePlan.from_eval(q, lognl, omega, iomega, ps, ips, 1,
+                                        col_only=(r > 0))
+                 for r, (ps, ips) in enumerate(tw)]
         return MergeDistMXULarge(
             template=plan_to_device(plans[0]),
             col_fwd=_stack(plans, "col_fwd"),
@@ -397,6 +402,60 @@ def _resolve_mxu(plan: MergePlan, sp: int, local_engine):
     return None
 
 
+def _cross_only_plan(plan: MergePlan, sp: int) -> MergePlan:
+    """Table-less plan -> plan with SP-ENTRY twiddle tables: every
+    cross-chip stage index is < sp (stage s reads lo + g with
+    lo = 2^s <= sp/2 for X_N_plus, 0 otherwise, and g < 2^s), so when
+    the local tails run on the MXU engines the full 2^n tables are
+    never touched.  The sp entries are computed directly from the root
+    (bitrev-permuted table entry i = root^bitrev(i)) — KBs, trace-safe
+    as constants, vs the 10s-of-MB-to-GB full tables whose in-trace
+    rebuild was the r5 code-review finding."""
+    import dataclasses
+
+    p = plan.params
+    cache = getattr(p, "_merge_cross_tables_cache", None)
+    if cache is None:
+        cache = {}
+        p._merge_cross_tables_cache = cache
+    if sp not in cache:
+        from ..ops.merge_ntt import u64_from_numpy
+
+        q = plan.q
+        size = p.root_of_unity_size
+        log_ts = size.bit_length() - 1
+        m = max(2, min(sp, size))
+        idx = [bitreverse(i, log_ts) for i in range(m)]
+        fwd = np.array([pow(p.root_of_unity, j, q) for j in idx],
+                       dtype=np.uint64)
+        inv = np.array([pow(p.inverse_root_of_unity, j, q) for j in idx],
+                       dtype=np.uint64)
+        from ..ops import barrett as bo
+
+        word = 64 if plan.is64 else 32
+        fwd_sh = bo.shoup_companion(fwd, q, word)
+        inv_sh = bo.shoup_companion(inv, q, word)
+        if plan.is64:
+            rep = lambda a: u64_from_numpy(a)
+        else:
+            rep = lambda a: jnp.asarray(a.astype(np.uint32))
+        cache[sp] = (rep(fwd), rep(fwd_sh), rep(inv), rep(inv_sh))
+    ft, fs, it, is_ = cache[sp]
+    return dataclasses.replace(plan, fwd_table=ft, fwd_shoup=fs,
+                               inv_table=it, inv_shoup=is_)
+
+
+def _dist_plan_tables(plan: MergePlan, sp: int, mxu) -> MergePlan:
+    """Tables for the shard computation: full butterfly tables when the
+    local tails run the XLA stage sweeps, sp-entry cross-stage tables
+    when the MXU engines own the tails."""
+    if plan.fwd_table is not None:
+        return plan
+    if mxu is None:
+        return plan.with_tables()
+    return _cross_only_plan(plan, sp)
+
+
 def merge_dist_mxu(plan: MergePlan, sp: int):
     """Resolve (and cache) the stacked MXU local-tail plans for this
     (plan, sp) — a registered pytree.  Build it OUTSIDE your jit and
@@ -418,10 +477,10 @@ def dist_merge_ntt(x, plan: MergePlan, mesh: Mesh,
     mxu: prebuilt merge_dist_mxu(plan, sp) pytree — pass it (and the
     plan) through your jit as ARGUMENTS at big rings."""
     sp = mesh.shape["sp"]
-    plan = plan.with_tables()  # cross-stage twiddles read table slices
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     if mxu is None:
         mxu = _resolve_mxu(plan, sp, local_engine)
+    plan = _dist_plan_tables(plan, sp, mxu)
     spec = P("dp", "sp") if "dp" in mesh.shape else P(None, "sp")
     f = jax.shard_map(
         partial(_shard_fwd, plan=plan, sp=sp, xnp=xnp, mxu=mxu,
@@ -437,10 +496,10 @@ def dist_merge_intt(x, plan: MergePlan, mesh: Mesh, scale: bool = True,
     """Inverse merge NTT (GS), coefficient-sharded; n^-1 fused last.
     mxu as in dist_merge_ntt."""
     sp = mesh.shape["sp"]
-    plan = plan.with_tables()  # cross-stage twiddles read table slices
     xnp = plan.reduction_poly == ReductionPolynomial.X_N_plus
     if mxu is None:
         mxu = _resolve_mxu(plan, sp, local_engine)
+    plan = _dist_plan_tables(plan, sp, mxu)
     spec = P("dp", "sp") if "dp" in mesh.shape else P(None, "sp")
     f = jax.shard_map(
         partial(_shard_inv, plan=plan, sp=sp, xnp=xnp, scale=scale, mxu=mxu,

@@ -316,7 +316,40 @@ def test_bigring_plan_as_jit_argument_has_no_giant_consts(monkeypatch):
     x = to_lanes(np.zeros((1, p.n), dtype=np.uint64), True)
     jaxpr = _jax.make_jaxpr(
         lambda v, pl: dispatch.ntt_lanes(v, pl))(x, plan)
-    const_bytes = sum(
-        np.asarray(c).nbytes for c in jaxpr.consts
-        if hasattr(c, "nbytes") or isinstance(c, np.ndarray))
-    assert const_bytes < (1 << 20), f"{const_bytes} bytes of consts"
+
+    def const_bytes(jx):
+        return sum(np.asarray(c).nbytes for c in jx.consts
+                   if hasattr(c, "nbytes") or isinstance(c, np.ndarray))
+
+    assert const_bytes(jaxpr) < (1 << 20), "giant consts in 2-D trace"
+    # 1-D and 3-D batches canonicalize to the same MXU route (r5 review
+    # finding: they used to fall to the XLA engine, whose in-trace
+    # table rebuild inlined the 2^n tables)
+    x1 = to_lanes(np.zeros(p.n, dtype=np.uint64), True)
+    j1 = _jax.make_jaxpr(lambda v, pl: dispatch.ntt_lanes(v, pl))(x1, plan)
+    assert const_bytes(j1) < (1 << 20), "giant consts in 1-D trace"
+    x3 = to_lanes(np.zeros((2, 2, p.n), dtype=np.uint64), True)
+    j3 = _jax.make_jaxpr(lambda v, pl: dispatch.intt_lanes(v, pl))(x3, plan)
+    assert const_bytes(j3) < (1 << 20), "giant consts in 3-D trace"
+
+
+def test_tableless_xla_fallback_raises_in_trace(monkeypatch):
+    """Explicitly forcing the XLA engine (use_pallas=False) on a
+    table-skipped big-ring plan INSIDE a trace must raise with guidance
+    instead of silently inlining the 2^n tables as constants (r5 review
+    finding); the same call works eagerly (tables rebuilt host-side)."""
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    p = NTTParameters(18, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    plan = MergePlan.from_params(p)
+    assert plan.fwd_table is None
+    from gpuntt_tpu.ops.merge_ntt import to_lanes
+
+    x = to_lanes(np.zeros((1, p.n), dtype=np.uint64), True)
+    with pytest.raises(ValueError, match="with_tables"):
+        _jax.make_jaxpr(lambda v, pl: dispatch.ntt_lanes(
+            v, pl, use_pallas=False))(x, plan)
+    # eager call with tables restored works (and matches the engine)
+    full = plan.with_tables()
+    assert full.fwd_table is not None

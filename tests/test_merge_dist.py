@@ -131,3 +131,43 @@ def test_dist_merge_mxu_large_local_tails_bit_exact(rng, monkeypatch):
             v, pl, mesh, interpret=True, mxu=mx))
         back = inv(got, plan, mxu)
         np.testing.assert_array_equal(from_lanes(back, True), x)
+
+
+def test_dist_merge_tableless_plan_uses_cross_tables(rng, monkeypatch):
+    """A TPU-built table-skipped plan through the dist merge with MXU
+    tails must NOT rebuild the full 2^n butterfly tables (the r5 review
+    finding: with_tables() inside the caller's jit inlines 10s of MB);
+    the cross-chip stages only index < sp, so an sp-entry table
+    suffices — asserted bit-exact and small."""
+    import jax as _jax
+
+    from gpuntt_tpu.parallel import merge_dist as md
+    from gpuntt_tpu.parallel.merge_dist import merge_dist_mxu
+
+    monkeypatch.setattr(md, "MXU_LOCAL_MIN_LOGN", 8)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    p = NTTParameters(12, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    # force the TPU table-skip decision despite the small ring
+    from gpuntt_tpu.ops import merge_ntt as mn
+
+    monkeypatch.setattr(mn, "_bigring_engine_path", lambda _p: "mxu-large")
+    plan = MergePlan.from_params(p)
+    assert plan.fwd_table is None
+    small = md._cross_only_plan(plan, 4)
+    leaf = jax.tree_util.tree_leaves(small.fwd_table)[0]
+    assert leaf.shape[0] == 4  # sp entries, not 2^12
+    mesh = make_mesh(dp=1, sp=4)
+    mxu = merge_dist_mxu(plan, 4)
+    assert mxu is not None
+    x = rng.integers(0, p.modulus.value, size=(2, p.n), dtype=np.uint64)
+    sh = NamedSharding(mesh, P(None, "sp"))
+    lanes = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh), to_lanes(x, True))
+    got = jax.jit(lambda v, pl, mx: dist_merge_ntt(
+        v, pl, mesh, interpret=True, mxu=mx))(lanes, plan, mxu)
+    exp = from_lanes(merge_ntt_lanes(to_lanes(x, True),
+                                     plan.with_tables()), True)
+    np.testing.assert_array_equal(from_lanes(got, True), exp)
+    back = jax.jit(lambda v, pl, mx: dist_merge_intt(
+        v, pl, mesh, interpret=True, mxu=mx))(got, plan, mxu)
+    np.testing.assert_array_equal(from_lanes(back, True), x)

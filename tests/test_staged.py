@@ -97,8 +97,7 @@ def test_staged_merge_fwd_split_rows(rng):
     assert q < 1 << 60  # the split is gated on the non-wide combine
     plan = MXULargePlan.from_spec(
         q, p.logn, p.root_of_unity, p.inverse_root_of_unity, True,
-        pow(p.n, q - 2, q), a_col=8, max_row_logn=10,
-        row_kwargs=dict(a_col=8))
+        pow(p.n, q - 2, q), a_col=8, max_row_logn=10)
     assert isinstance(plan.row_plan_fwd, MXUMergePlan)
     assert isinstance(plan.row_plan_inv, MXUMergePlan)
     assert plan.row_plan is None  # no nested plan is built at all (r5)
@@ -132,8 +131,7 @@ def test_fwd_split_gate_structure():
     # logB = 14 - 3 = 11 == max_row_logn + 1 -> delegated rows
     plan = MXULargePlan.from_spec(
         q, p.logn, p.root_of_unity, p.inverse_root_of_unity, False,
-        pow(p.n, q - 2, q), a_col=8, max_row_logn=10,
-        row_kwargs=dict(a_col=8))
+        pow(p.n, q - 2, q), a_col=8, max_row_logn=10)
     assert isinstance(plan.row_plan_fwd, MXUMergePlan)
     assert isinstance(plan.row_plan_inv, MXUMergePlan)
     assert plan.row_plan is None
