@@ -460,6 +460,54 @@ def drive_userjit_4step_24(logn=24):
                 f"route + roundtrip, plan as jit arg")
 
 
+def drive_userjit_nd_24(logn=24):
+    """1-D and 3-D batch shapes through ntt_lanes/intt_lanes at a big
+    ring inside a USER jit (r5 post-review fix: pre-fix these fell to
+    the XLA engine, whose in-trace table rebuild inlines the 2^n
+    butterfly tables as HLO constants at big rings — the canonicalize-
+    to-(batch, N) path must reach the SAME composed MXU program).
+    Golden fwd (native oracle) + roundtrip + parity vs the 2-D route."""
+    import jax
+
+    from gpuntt_tpu import NTTParameters, ReductionPolynomial, _native
+    from gpuntt_tpu.ops.dispatch import intt_lanes, ntt_lanes
+    from gpuntt_tpu.ops.merge_ntt import MergePlan, from_lanes, to_lanes
+
+    if INTERPRET:
+        logn = 14
+    p = NTTParameters(logn, ReductionPolynomial.X_N_plus, dtype=np.uint64)
+    q = p.modulus.value
+    plan = MergePlan.from_params(p)
+    rng = np.random.default_rng(15)
+    x = rng.integers(0, q, size=(2, p.n), dtype=np.uint64)
+
+    fwd = jax.jit(lambda v, pl: ntt_lanes(v, pl))
+    inv = jax.jit(lambda v, pl: intt_lanes(v, pl))
+    ref2d = from_lanes(fwd(to_lanes(x, True), plan), True)
+
+    # 1-D: a single ring with no batch axis
+    l1 = jax.tree_util.tree_map(lambda a: a[0], to_lanes(x[:1], True))
+    got1 = from_lanes(jax.tree_util.tree_map(
+        lambda a: a[None], fwd(l1, plan)), True)
+    ok = np.array_equal(got1, ref2d[:1])
+    # 3-D: (2, 1, N) — a ladder-style leading axis
+    l3 = jax.tree_util.tree_map(lambda a: a[:, None], to_lanes(x, True))
+    got3 = fwd(l3, plan)
+    got3_2d = from_lanes(jax.tree_util.tree_map(
+        lambda a: a[:, 0], got3), True)
+    ok = ok and np.array_equal(got3_2d, ref2d)
+    if _native.available():
+        exp = _native.ntt_merge(x, p.logn,
+                                p.forward_root_of_unity_table.astype(
+                                    np.uint64), q, True)
+        ok = ok and np.array_equal(ref2d, exp)
+    back3 = from_lanes(jax.tree_util.tree_map(
+        lambda a: a[:, 0], inv(got3, plan)), True)
+    ok = ok and np.array_equal(back3, x)
+    return ok, (f"2^{logn} u64 1-D/3-D canonicalization inside USER jit, "
+                f"parity vs 2-D + golden fwd + roundtrip")
+
+
 ROUTES = {
     "u32-rns-kernel": drive_u32_rns,
     "u32-mxu": drive_u32_mxu,
@@ -474,6 +522,7 @@ ROUTES = {
     "userjit-u32-25": drive_userjit_u32_25,
     "userjit-polymul-24": drive_userjit_polymul_24,
     "userjit-4step-24": drive_userjit_4step_24,
+    "userjit-nd-24": drive_userjit_nd_24,
 }
 
 

@@ -189,9 +189,11 @@ def time_marginal_spread(fn, x, k_lo=1, k_hi=4, iters=None, repeats=4,
 def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3,
                         target_noise=0.25, iters_max=48):
     """Marginal per-application time for an EAGER chainable fn(x)->x —
-    the staged multi-program big-N routes (merge logn >= 24), whose
-    phases are separate cached jitted programs and cannot ride inside
-    one jitted chain.  Applications are chained eagerly (device arrays
+    multi-dispatch eager routes (e.g. the staged_* utility executors,
+    or any path whose phases are separate cached jitted programs and so
+    cannot ride inside one jitted chain; since r4 the production big-N
+    route is ONE composed jitted program — use time_marginal/-_scan for
+    it).  Applications are chained eagerly (device arrays
     stay resident; JAX's async dispatch keeps the device queue full, so
     per-call dispatch overlaps execution) and the k_lo/k_hi slope
     cancels the constant setup + sync cost.  Each application is 2+
@@ -229,10 +231,10 @@ def time_marginal_eager(fn, x, k_lo=1, k_hi=4, iters=3, repeats=3,
 def time_wall(fn, iters=3, repeats=3):
     """Best-of-repeats wall time per call of an EAGER callable.
 
-    For the staged multi-program routes (merge logn >= 24), which cannot
-    ride inside one jitted chain: includes the per-phase dispatch
-    overhead (~1.5-5 ms on the relay), which is real cost for these
-    paths and small next to their kernel times."""
+    For multi-dispatch eager paths (e.g. the staged_* utility
+    executors), which cannot ride inside one jitted chain: includes the
+    per-phase dispatch overhead (~1.5-5 ms on the relay), which is real
+    cost for these paths and small next to their kernel times."""
     o = fn()
     fetch_one(o)
     best = float("inf")
