@@ -170,13 +170,22 @@ def bench_merge(logn: int, dtype, batch: int, rng, layout="poly"):
         return fwd, inv, "k=1 chain (XLA engine; incl dispatch)"
     # small-footprint gate is BYTE-based (2 MB): u32 2^19 is the
     # same ring bytes as u64 2^18 and needs the same deep-chain
-    # treatment (r3: its k=1/4 cell stuck at 42-54% noise)
-    if batch * (1 << logn) * np.dtype(dtype).itemsize <= (1 << 21):
+    # treatment (r3: its k=1/4 cell stuck at 42-54% noise).  For the
+    # composed large routes the gate widens to 8 MB: the u32 batch-1
+    # 2^20/21 cells are sub-0.4 ms and their k=1/4 spread UNDER-read by
+    # >2x at 42-71% noise (r5 re-drive: scan-chain 0.180/0.343 ms at
+    # <=8% vs spread 0.076/0.251 — benchmarks/u32_b1_redrive.py; the
+    # one observed scan-compile rejection at these sizes was transient)
+    footprint = batch * (1 << logn) * np.dtype(dtype).itemsize
+    path = (_kernel_path(plan, x.shape, NTTLayout.PerPolynomial)
+            if tpu else None)
+    if footprint <= (1 << 21) or (
+            path in ("mxu-large", "mxu32-large")
+            and footprint <= (1 << 23)):
         # small-footprint cells (the reference's batch-1 nvbench scope,
         # bench_merge_ntt.cu:71-75): sub-0.1 ms kernels drown in relay
         # jitter at k=1/k=4 — use deep scan chains and report the
         # measured noise bound instead of printing clamped garbage
-        path = _kernel_path(plan, x.shape, NTTLayout.PerPolynomial)
         if tpu and path in ("mxu-large", "mxu32-large"):
             # The historical scan crash here (HTTP 500 at u64 logn 18
             # batch 1, r3) was the A=512 split's ~8 MB inline digit
